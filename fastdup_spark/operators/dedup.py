@@ -1,0 +1,92 @@
+"""Dedup policies and exact-duplicate detection.
+
+Reference analogs:
+  * exact duplicates — the degenerate case of similarity 1.0 clusters;
+  * keep-one-per-component — `delete_components` keeps files[0], drops the
+    rest (/root/reference/fastdup/__init__.py:1666-1675, W4 in SURVEY §2.5);
+  * majority-label survivor — `delete_or_retag_stats_outliers`-style policy:
+    keep one doc of the dominant label iff it holds ≥ half the component,
+    else drop the whole component (/root/reference/fastdup/__init__.py:1709-1732, W5);
+  * `remove_duplicates` e2e (/root/reference/fastdup/__init__.py:2893-2920) —
+    here a side-effect-free *decision table* (doc_id, component_id, keep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash (distributed groupBy, no pairs).
+
+    Returns (doc_id, group_key, group_size, keep) for docs in groups of ≥ 2;
+    keep = True for the smallest doc_id (deterministic survivor).
+    """
+    hashed = docs.select(F.col(id_col).alias("doc_id"),
+                         F.md5(F.col(text_col)).alias("group_key"))
+    w = Window.partitionBy("group_key")
+    wr = Window.partitionBy("group_key").orderBy("doc_id")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") >= 2)
+        .withColumn("keep", F.row_number().over(wr) == 1)
+        .select("doc_id", "group_key", "group_size", "keep")
+    )
+
+
+def keep_first_policy(assignments: DataFrame,
+                      order_col: str = "doc_id") -> DataFrame:
+    """W4: one survivor per component (min order_col), everyone else dropped.
+
+    Input: assignments(doc_id, component_id). Output adds keep BOOLEAN.
+    Singleton components keep their only member.
+    """
+    w = Window.partitionBy("component_id").orderBy(F.asc(order_col))
+    return assignments.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def majority_label_policy(assignments_with_label: DataFrame) -> DataFrame:
+    """W5: per component, if the dominant label covers ≥ half the members keep
+    exactly one doc of that label (min doc_id), else drop all members.
+
+    Input: (doc_id, component_id, label). Output adds keep BOOLEAN.
+    """
+    w_comp = Window.partitionBy("component_id")
+    w_lab = Window.partitionBy("component_id", "label")
+    df = (
+        assignments_with_label
+        .withColumn("comp_size", F.count("*").over(w_comp))
+        .withColumn("label_cnt", F.count("*").over(w_lab))
+        .withColumn("max_cnt", F.max("label_cnt").over(w_comp))
+        # deterministic dominant label: among max-count labels take the min
+        .withColumn(
+            "dom_label",
+            F.min(F.when(F.col("label_cnt") == F.col("max_cnt"), F.col("label"))).over(w_comp),
+        )
+    )
+    w_surv = Window.partitionBy("component_id").orderBy("doc_id")
+    survivor = (
+        (F.col("max_cnt") * 2 >= F.col("comp_size"))
+        & (F.col("label") == F.col("dom_label"))
+        & (F.row_number().over(
+            Window.partitionBy("component_id")
+            .orderBy(F.when(F.col("label") == F.col("dom_label"), 0).otherwise(1), "doc_id")
+        ) == 1)
+    )
+    return df.withColumn("keep", survivor).select(
+        "doc_id", "component_id", "label", "keep")
+
+
+def duplicates_to_drop(assignments: DataFrame, min_size: int = 2) -> DataFrame:
+    """`remove_duplicates` decision table: non-survivors of components ≥ min_size."""
+    sized = assignments.join(
+        assignments.groupBy("component_id").agg(F.count("*").alias("comp_size")),
+        "component_id",
+    ).filter(F.col("comp_size") >= min_size)
+    return (
+        keep_first_policy(sized.select("doc_id", "component_id"))
+        .filter(~F.col("keep"))
+        .select("doc_id", "component_id")
+    )

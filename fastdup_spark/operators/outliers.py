@@ -1,0 +1,65 @@
+"""Outlier detection — bottom percentile of best-NN similarity.
+
+Reference: `outliers.csv` keeps the bottom ``lower_threshold`` (default 5%)
+percentile of nearest-neighbor distances (/root/reference/fastdup/__init__.py:482,567;
+/root/reference/RUN.md:57-68). There every item has dense-embedding NNs; in the
+sparse LSH world most docs have *no* candidate at all — those are the most
+unique, so they rank before any doc with a weak neighbor. The cut is
+rank-based (floor(pct * n) rows ordered by best similarity asc, doc_id as the
+deterministic tie-break), which reproduces "bottom p% of NN distances"
+without depending on interpolation details.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_neighbor(all_docs: DataFrame, scored_pairs: DataFrame,
+                  sim_col: str = "jaccard") -> DataFrame:
+    """(doc_id) x pairs(src,dst,sim) -> (doc_id, best_sim, best_nn).
+
+    Docs absent from the pair table get best_sim = 0.0, best_nn = NULL.
+    """
+    sym = scored_pairs.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("nn"), F.col(sim_col).alias("sim")
+    ).unionByName(scored_pairs.select(
+        F.col("dst").alias("doc_id"), F.col("src").alias("nn"), F.col(sim_col).alias("sim")
+    ))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("nn"))
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("sim").alias("best_sim"), F.col("nn").alias("best_nn"))
+    )
+    return (
+        all_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("best_sim", F.lit(0.0)).alias("best_sim"),
+            "best_nn",
+        )
+    )
+
+
+def outliers_by_percentile(best_nn: DataFrame, pct: float) -> DataFrame:
+    """Bottom floor(pct*n) docs by (best_sim asc, doc_id asc) — deterministic."""
+    n = best_nn.count()
+    k = int(n * pct)
+    if k <= 0:
+        return best_nn.limit(0)
+    # Two-phase for scale: an approx-percentile cutoff (distributed, one pass)
+    # prunes to ~pct*n rows; the exact deterministic rank then runs on the
+    # small survivor set instead of a global sort of all n docs.
+    cutoff = best_nn.agg(
+        F.percentile_approx("best_sim", min(1.0, pct * 1.5), 10000).alias("c")
+    ).collect()[0]["c"]
+    pruned = best_nn.filter(F.col("best_sim") <= F.lit(cutoff))
+    w = Window.orderBy(F.asc("best_sim"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,339 @@
+"""FastdupSpark — the end-to-end engine and its query surface.
+
+Mirrors the reference's two entry points:
+  * ``run()`` ≈ fd.run() (/root/reference/fastdup/engine.py:36-158 ->
+    fastdup_controller.py:522-653 -> the C++ do_main pipeline,
+    __init__.py:401-455): extract -> stats -> signatures -> LSH candidates ->
+    verify -> connected components -> outliers, each stage checkpointed.
+  * result queries ≈ fd.similarity()/outliers()/connected_components()/
+    img_stats()/summary() (fastdup_controller.py:260-520,660-756) — thin
+    DataFrame chains over the stage tables.
+
+Scale notes (SURVEY §4): stage boundaries materialize columnar tables exactly
+where the reference writes CSVs, giving resumability and cutting lineage; all
+joins against the doc catalog broadcast when small; the candidate self-join
+and verify joins shuffle on their keys with AQE skew handling; per-stage
+counters land in the stage markers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastdup_spark.config import PipelineConfig
+from fastdup_spark.functions.extract import split_extracted
+from fastdup_spark.functions.lcs import lcs_confirm
+from fastdup_spark.functions.signatures import (
+    make_minhash_udf, make_simhash_udf, normalize_tokens_expr, shingles_expr,
+)
+from fastdup_spark.functions.similarity import (
+    exact_jaccard_expr, hamming_expr, sig_jaccard_expr,
+)
+from fastdup_spark.operators.cc import connected_components
+from fastdup_spark.operators.dedup import duplicates_to_drop
+from fastdup_spark.operators.lsh import (
+    band_buckets, bucket_stats, candidate_pairs, salt_buckets,
+)
+from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
+from fastdup_spark.operators.stats import doc_stats as doc_stats_op
+from fastdup_spark.operators.stats import summary_stats
+from fastdup_spark.plans.store import StageStore
+
+STAGES = ["docs", "quarantine", "doc_stats", "signatures", "buckets",
+          "candidates", "pairs_scored", "similarity", "containment",
+          "assignments", "component_info", "outliers"]
+
+
+class FastdupSpark:
+    """create(work_dir) -> run(pages) -> query results (fastdup v1 API shape)."""
+
+    def __init__(self, spark: SparkSession, work_dir: str,
+                 config: PipelineConfig | None = None) -> None:
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.store = StageStore(work_dir)
+        self._chash = self.config.config_hash()
+
+    # ------------------------------------------------------------------ run
+    def run(self, pages: DataFrame | None = None, input_path: str | None = None,
+            force: bool = False) -> dict:
+        """Execute all stages; each is skipped when its completion marker
+        matches the current config (resume semantics, ref run_mode=2/resume).
+        Returns the run summary dict."""
+        cfg = self.config
+        if pages is None:
+            if input_path is None:
+                raise ValueError("pass pages DataFrame or input_path")
+            pages = self.spark.read.parquet(input_path)
+
+        def done(stage: str) -> bool:
+            return (not force) and cfg.resume and self.store.is_complete(stage, self._chash)
+
+        # --- stage 1: extract + quarantine (ref: decode + bad-files list) ---
+        if not (done("docs") and done("quarantine")):
+            ok, bad = split_extracted(pages, cfg.min_text_chars)
+            # doc_id = xxhash64(url): deterministic, order-independent identity
+            # (the reference uses listing order, RUN.md:106-115 — ours must not).
+            docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
+                "doc_id", "url", "warc_ts", "lang", "text")
+            self.store.write(docs, "docs", self._chash)
+            self.store.write(bad, "quarantine", self._chash)
+        docs = self.store.read(self.spark, "docs")
+
+        # --- stage 2: per-doc stats (ref: atrain_stats.csv) ---
+        if not done("doc_stats"):
+            st = doc_stats_op(docs.select("doc_id", "text"), id_col="doc_id")
+            self.store.write(st, "doc_stats", self._chash)
+
+        # --- stage 3: signatures (ref: atrain_features.dat) ---
+        if not done("signatures"):
+            minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
+            simhash_udf = make_simhash_udf()
+            sigs = (
+                docs
+                .withColumn("tokens", normalize_tokens_expr(F.col("text")))
+                .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
+                .withColumn("minhash", minhash_udf(F.col("shingles")))
+                .withColumn("simhash", simhash_udf(F.col("shingles")))
+                .select("doc_id", "minhash", "simhash", "shingles",
+                        F.size("shingles").alias("n_shingles"))
+            )
+            self.store.write(sigs, "signatures", self._chash)
+        sigs = self.store.read(self.spark, "signatures")
+
+        # --- stage 4: LSH index + candidates (ref: HNSW index + k-NN probe) ---
+        if not (done("buckets") and done("candidates")):
+            buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
+            stats = bucket_stats(buckets)
+            salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
+            # the bucket table IS the persisted searchable index (≈ nnf.index)
+            self.store.write(salted, "buckets", self._chash)
+            salted = self.store.read(self.spark, "buckets")
+            cands = candidate_pairs(salted)
+            srow = stats.agg(
+                F.count("*").alias("n_buckets_ge2"),
+                F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+                F.coalesce(F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1)
+                                 .otherwise(0)), F.lit(0)).alias("n_salted_buckets"),
+            ).collect()[0]
+            self.store.write(cands, "candidates", self._chash, counters={
+                "n_buckets_ge2": int(srow["n_buckets_ge2"]),
+                "max_bucket_size": int(srow["max_bucket_size"]),
+                "n_salted_buckets": int(srow["n_salted_buckets"]),
+            })
+        cands = self.store.read(self.spark, "candidates")
+
+        # --- stage 5: verify (ref: cosine threshold inside edge generation) ---
+        if not (done("pairs_scored") and done("similarity") and done("containment")):
+            narrow = sigs.select("doc_id", "minhash", "simhash")
+            scored = (
+                cands
+                .join(narrow.select(F.col("doc_id").alias("src"),
+                                    F.col("minhash").alias("mh_a"),
+                                    F.col("simhash").alias("sh_a")), "src")
+                .join(narrow.select(F.col("doc_id").alias("dst"),
+                                    F.col("minhash").alias("mh_b"),
+                                    F.col("simhash").alias("sh_b")), "dst")
+                .withColumn("sig_jaccard", sig_jaccard_expr(F.col("mh_a"), F.col("mh_b")))
+                .withColumn("hamming", hamming_expr(F.col("sh_a"), F.col("sh_b")))
+                # cheap prefilter: only plausible pairs pay the exact verify
+                .filter(F.col("sig_jaccard") >= cfg.sig_jaccard_prefilter)
+                .select("src", "dst", "sig_jaccard", "hamming")
+            )
+            sh = sigs.select("doc_id", "shingles")
+            scored = (
+                scored
+                .join(sh.select(F.col("doc_id").alias("src"),
+                                F.col("shingles").alias("sh_src")), "src")
+                .join(sh.select(F.col("doc_id").alias("dst"),
+                                F.col("shingles").alias("sh_dst")), "dst")
+                .withColumn("jaccard", exact_jaccard_expr(F.col("sh_src"), F.col("sh_dst")))
+                .select("src", "dst", "sig_jaccard", "hamming", "jaccard")
+            )
+            self.store.write(scored, "pairs_scored", self._chash)
+            scored = self.store.read(self.spark, "pairs_scored")
+
+            # similarity table ≈ similarity.csv: edges >= threshold, sorted desc
+            sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
+                        .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
+            self.store.write(sim, "similarity", self._chash,
+                             counters={"threshold": cfg.threshold})
+
+            # LCS containment confirm: sub-threshold candidates that may be
+            # verbatim-containment duplicates (north_rule confirm stage)
+            if cfg.lcs_enabled:
+                sub = scored.filter(F.col("jaccard") < cfg.threshold).select("src", "dst")
+                texts = docs.select("doc_id", "text")
+                pt = (
+                    sub.join(texts.select(F.col("doc_id").alias("src"),
+                                          F.col("text").alias("text_a")), "src")
+                       .join(texts.select(F.col("doc_id").alias("dst"),
+                                          F.col("text").alias("text_b")), "dst")
+                )
+                lcs = lcs_confirm(pt, cfg.lcs_cap_chars).filter(
+                    F.col("lcs_len") >= cfg.lcs_min_len)
+                self.store.write(lcs, "containment", self._chash)
+            else:
+                self.store.write(
+                    self.spark.createDataFrame(
+                        [], "src bigint, dst bigint, lcs_len bigint, containment double"),
+                    "containment", self._chash)
+        scored = self.store.read(self.spark, "pairs_scored")
+
+        # --- stage 6: connected components (ref: CC at ccthreshold) ---
+        if not (done("assignments") and done("component_info")):
+            cc_edges = scored.filter(F.col("jaccard") >= cfg.cc_threshold) \
+                             .select("src", "dst")
+            asg = connected_components(
+                cc_edges, vertices=docs.select("doc_id"),
+                checkpoint_every=cfg.checkpoint_every_cc_iters)
+            self.store.write(asg, "assignments", self._chash)
+            asg = self.store.read(self.spark, "assignments")
+            info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
+            self.store.write(info, "component_info", self._chash)
+
+        # --- stage 7: outliers (ref: bottom 5% NN distance) ---
+        if not done("outliers"):
+            bn = best_neighbor(docs, scored, sim_col="jaccard")
+            out = outliers_by_percentile(bn, cfg.outlier_pct)
+            self.store.write(out, "outliers", self._chash)
+
+        # --- summary + manifest (ref: config.json + summary()) ---
+        n_pages = pages.count()
+        n_valid = docs.count()
+        n_bad = self.store.read(self.spark, "quarantine").count()
+        summ = summary_stats(
+            n_pages, n_valid, n_bad,
+            self.store.read(self.spark, "assignments"),
+            self.store.read(self.spark, "similarity"),
+            self.store.read(self.spark, "outliers"),
+        )
+        manifest = {"config": self.config.to_dict(), "config_hash": self._chash,
+                    "summary": summ}
+        self.store.write_json(manifest, "run_manifest")
+        return summ
+
+    # -------------------------------------------------------- query surface
+    def docs(self) -> DataFrame:
+        return self.store.read(self.spark, "docs")
+
+    def quarantine(self) -> DataFrame:
+        """≈ invalid_instances() / atrain_features.bad.csv."""
+        return self.store.read(self.spark, "quarantine")
+
+    def doc_stats(self) -> DataFrame:
+        """≈ img_stats()."""
+        return self.store.read(self.spark, "doc_stats")
+
+    def similarity(self) -> DataFrame:
+        """≈ fd.similarity(): url-resolved edge list, sorted desc (J1 + T1)."""
+        cat = self.docs().select("doc_id", "url")
+        sim = self.store.read(self.spark, "similarity")
+        return (
+            sim.join(cat.select(F.col("doc_id").alias("src"),
+                                F.col("url").alias("url_from")), "src")
+               .join(cat.select(F.col("doc_id").alias("dst"),
+                                F.col("url").alias("url_to")), "dst")
+               .orderBy(F.desc("jaccard"), "src", "dst")
+        )
+
+    def outliers(self) -> DataFrame:
+        """≈ fd.outliers(): bottom-percentile docs with their best neighbor (W1)."""
+        out = self.store.read(self.spark, "outliers")
+        cat = self.docs().select("doc_id", "url")
+        return out.join(cat, "doc_id").orderBy("best_sim", "doc_id")
+
+    def components(self, include_singletons: bool = False) -> DataFrame:
+        """≈ fd.connected_components(): (doc_id, component_id, url, count);
+        singletons dropped by default (ref fastdup_controller.py:440)."""
+        asg = self.store.read(self.spark, "assignments")
+        info = self.store.read(self.spark, "component_info")
+        df = asg.join(F.broadcast(info.filter(
+            F.col("count") >= (1 if include_singletons else 2))), "component_id")
+        return df.join(self.docs().select("doc_id", "url"), "doc_id")
+
+    def components_grouped(self, min_size: int = 2, sort_by: str = "count",
+                           ascending: bool = False, limit: int | None = None) -> DataFrame:
+        """≈ fd.connected_components_grouped() / find_top_components (A1+T3):
+        one row per component with member lists + aggregates."""
+        df = self.components(include_singletons=(min_size <= 1))
+        grouped = (
+            df.groupBy("component_id")
+            .agg(
+                F.count("*").alias("count"),
+                F.sort_array(F.collect_list("url")).alias("urls"),
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            )
+            .filter(F.col("count") >= min_size)
+        )
+        grouped = grouped.orderBy(
+            F.asc(sort_by) if ascending else F.desc(sort_by), "component_id")
+        return grouped.limit(limit) if limit else grouped
+
+    def component_pairs(self) -> DataFrame:
+        """≈ hierarchical similarity between components (J11,
+        galleries.py:223-266): edge endpoints mapped to their components,
+        grouped to (comp_a, comp_b, max_jaccard, n_edges)."""
+        asg = self.store.read(self.spark, "assignments")
+        sim = self.store.read(self.spark, "similarity")
+        e = (
+            sim.join(asg.select(F.col("doc_id").alias("src"),
+                                F.col("component_id").alias("comp_a")), "src")
+               .join(asg.select(F.col("doc_id").alias("dst"),
+                                F.col("component_id").alias("comp_b")), "dst")
+               .filter(F.col("comp_a") != F.col("comp_b"))
+        )
+        return (
+            e.select(F.least("comp_a", "comp_b").alias("comp_a"),
+                     F.greatest("comp_a", "comp_b").alias("comp_b"), "jaccard")
+            .groupBy("comp_a", "comp_b")
+            .agg(F.max("jaccard").alias("max_jaccard"), F.count("*").alias("n_edges"))
+        )
+
+    def duplicates(self) -> DataFrame:
+        """≈ remove_duplicates/delete_components decision table (W4):
+        non-survivor docs of every component ≥ 2, keep-min-doc_id policy."""
+        asg = self.store.read(self.spark, "assignments")
+        return duplicates_to_drop(asg).join(
+            self.docs().select("doc_id", "url"), "doc_id")
+
+    def containment(self) -> DataFrame:
+        return self.store.read(self.spark, "containment")
+
+    def summary(self) -> dict:
+        m = self.store.read_json("run_manifest")
+        return m["summary"] if m else {}
+
+    def search(self, query_text: str, k: int = 10) -> DataFrame:
+        """≈ fd.search(): probe the persisted bucket index with one query doc.
+
+        The query's signature is computed with the same exprs/UDFs on a 1-row
+        DataFrame; its band hashes broadcast-semi-join the bucket table; the
+        survivors verify with exact Jaccard against the query's shingles.
+        """
+        cfg = self.config
+        q = self.spark.createDataFrame([(query_text,)], "text string")
+        minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
+        qsig = (
+            q.withColumn("tokens", normalize_tokens_expr(F.col("text")))
+             .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
+             .withColumn("minhash", minhash_udf(F.col("shingles")))
+             .select(F.lit(-1).cast("bigint").alias("doc_id"), "minhash", "shingles")
+        )
+        qb = band_buckets(qsig, cfg.lsh_bands, cfg.lsh_rows).select("band_id", "bucket")
+        buckets = self.store.read(self.spark, "buckets")
+        cand_ids = (
+            buckets.join(F.broadcast(qb), ["band_id", "bucket"], "left_semi")
+            .select("doc_id").distinct()
+        )
+        sh = self.store.read(self.spark, "signatures").select("doc_id", "shingles")
+        qrow = qsig.select("shingles").collect()[0]
+        q_shingles = F.array(*[F.lit(int(s)) for s in qrow["shingles"]])
+        return (
+            cand_ids.join(sh, "doc_id")
+            .select("doc_id", exact_jaccard_expr(F.col("shingles"), q_shingles).alias("jaccard"))
+            .join(self.docs().select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("jaccard"), "doc_id")
+            .limit(k)
+        )

@@ -1,0 +1,120 @@
+"""Stage store: checkpointed tables with completion markers, per-partition
+lineage and counters — the resumability backbone (north_rule).
+
+Plays the role of the reference's files-on-disk IR between pipeline stages
+(similarity.csv / connected_components.csv / ... — SURVEY §2.1 S9) and its
+`resume`/`run_mode=2` artifact reuse (/root/reference/fastdup/__init__.py:586-598,
+/root/reference/RUN.md:171-186), upgraded to columnar tables + manifest
+markers:
+
+    <work_dir>/<stage>/            parquet (or Iceberg on a real deployment)
+    <work_dir>/<stage>.marker.json {config_hash, rows, files[], counters}
+
+A stage is skipped on rerun iff its marker exists AND was produced under the
+same PipelineConfig hash. The marker's `files` list carries per-output-file
+row counts — the per-partition lineage record. Format is parquet in this
+sandbox; on a cluster the same interface maps to Iceberg tables where the
+marker content lives in snapshot summary metadata (SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StageStore:
+    def __init__(self, work_dir: str, fmt: str = "parquet") -> None:
+        self.work_dir = work_dir
+        self.fmt = fmt
+        os.makedirs(work_dir, exist_ok=True)
+
+    # --- paths ---
+    def table_path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, stage)
+
+    def marker_path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, f"{stage}.marker.json")
+
+    # --- resume protocol ---
+    def is_complete(self, stage: str, config_hash: str) -> bool:
+        mp = self.marker_path(stage)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                marker = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return marker.get("config_hash") == config_hash and os.path.exists(self.table_path(stage))
+
+    def read_marker(self, stage: str) -> dict | None:
+        mp = self.marker_path(stage)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f)
+
+    # --- io ---
+    def write(self, df: DataFrame, stage: str, config_hash: str,
+              counters: dict | None = None, partition_by: list[str] | None = None) -> dict:
+        """Write the stage table, then its completion marker (write order is
+        the crash-safety contract: no marker -> stage reruns)."""
+        path = self.table_path(stage)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        if os.path.exists(self.marker_path(stage)):
+            os.remove(self.marker_path(stage))
+        writer = df.write.mode("overwrite").format(self.fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+        # per-partition lineage: rows per output file, read from the parquet
+        # footers (no extra Spark job; on Iceberg this comes from the
+        # snapshot's manifest for free)
+        lineage = self._parquet_lineage(path)
+        marker = {
+            "stage": stage,
+            "config_hash": config_hash,
+            "rows": int(sum(x["rows"] for x in lineage)),
+            "files": sorted(lineage, key=lambda x: x["file"]),
+            "counters": counters or {},
+        }
+        tmp = self.marker_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.marker_path(stage))
+        return marker
+
+    @staticmethod
+    def _parquet_lineage(path: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    meta = pq.ParquetFile(os.path.join(root, fn)).metadata
+                    rel = os.path.relpath(os.path.join(root, fn), path)
+                    out.append({"file": rel, "rows": meta.num_rows})
+        return out
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.format(self.fmt).load(self.table_path(stage))
+
+    def write_json(self, obj: dict, name: str) -> None:
+        tmp = os.path.join(self.work_dir, f"{name}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.work_dir, f"{name}.json"))
+
+    def read_json(self, name: str) -> dict | None:
+        p = os.path.join(self.work_dir, f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
