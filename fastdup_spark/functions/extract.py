@@ -90,11 +90,12 @@ def split_extracted(pages_df, min_text_chars: int = 1):
     quarantine_df: url, warc_ts, error_code   (≈ atrain_features.bad.csv)
     """
     udf = extract_text_udf(min_text_chars)
+    passthrough = [c for c in pages_df.columns if c not in ("html", "text")]
     ext = pages_df.withColumn("_ex", udf(F.col("html"))).select(
-        "url", "warc_ts", "lang",
+        *passthrough,
         F.col("_ex.extracted_text").alias("text"),
         F.col("_ex.error_code").alias("error_code"),
     )
     ok = ext.filter(F.col("error_code") == "").drop("error_code")
-    bad = ext.filter(F.col("error_code") != "").select("url", "warc_ts", "error_code")
+    bad = ext.filter(F.col("error_code") != "").select(*passthrough, "error_code")
     return ok, bad

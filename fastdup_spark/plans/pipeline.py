@@ -103,15 +103,17 @@ class FastdupSpark:
         sigs = self.store.read(self.spark, "signatures")
 
         # --- stage 4: LSH index + candidates (ref: HNSW index + k-NN probe) ---
-        if not (done("buckets") and done("candidates")):
+        if not done("buckets"):
             buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
             stats = bucket_stats(buckets)
             salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
             # the bucket table IS the persisted searchable index (≈ nnf.index)
             self.store.write(salted, "buckets", self._chash)
-            salted = self.store.read(self.spark, "buckets")
+        salted = self.store.read(self.spark, "buckets")
+        if not done("candidates"):
             cands = candidate_pairs(salted)
-            srow = stats.agg(
+            # skew counters recomputed from the persisted index table
+            srow = bucket_stats(salted).agg(
                 F.count("*").alias("n_buckets_ge2"),
                 F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
                 F.coalesce(F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1)
@@ -125,7 +127,7 @@ class FastdupSpark:
         cands = self.store.read(self.spark, "candidates")
 
         # --- stage 5: verify (ref: cosine threshold inside edge generation) ---
-        if not (done("pairs_scored") and done("similarity") and done("containment")):
+        if not done("pairs_scored"):
             narrow = sigs.select("doc_id", "minhash", "simhash")
             scored = (
                 cands
@@ -152,16 +154,18 @@ class FastdupSpark:
                 .select("src", "dst", "sig_jaccard", "hamming", "jaccard")
             )
             self.store.write(scored, "pairs_scored", self._chash)
-            scored = self.store.read(self.spark, "pairs_scored")
+        scored = self.store.read(self.spark, "pairs_scored")
 
-            # similarity table ≈ similarity.csv: edges >= threshold, sorted desc
+        # similarity table ≈ similarity.csv: edges >= threshold, sorted desc
+        if not done("similarity"):
             sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
                         .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
             self.store.write(sim, "similarity", self._chash,
                              counters={"threshold": cfg.threshold})
 
-            # LCS containment confirm: sub-threshold candidates that may be
-            # verbatim-containment duplicates (north_rule confirm stage)
+        # LCS containment confirm: sub-threshold candidates that may be
+        # verbatim-containment duplicates (north_rule confirm stage)
+        if not done("containment"):
             if cfg.lcs_enabled:
                 sub = scored.filter(F.col("jaccard") < cfg.threshold).select("src", "dst")
                 texts = docs.select("doc_id", "text")
@@ -179,16 +183,16 @@ class FastdupSpark:
                     self.spark.createDataFrame(
                         [], "src bigint, dst bigint, lcs_len bigint, containment double"),
                     "containment", self._chash)
-        scored = self.store.read(self.spark, "pairs_scored")
 
         # --- stage 6: connected components (ref: CC at ccthreshold) ---
-        if not (done("assignments") and done("component_info")):
+        if not done("assignments"):
             cc_edges = scored.filter(F.col("jaccard") >= cfg.cc_threshold) \
                              .select("src", "dst")
             asg = connected_components(
                 cc_edges, vertices=docs.select("doc_id"),
                 checkpoint_every=cfg.checkpoint_every_cc_iters)
             self.store.write(asg, "assignments", self._chash)
+        if not done("component_info"):
             asg = self.store.read(self.spark, "assignments")
             info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
             self.store.write(info, "component_info", self._chash)

@@ -1,0 +1,89 @@
+"""Query-surface contracts: similarity()/outliers()/components()/
+components_grouped()/doc_stats()/summary()/duplicates()/search()
+mirror SURVEY §2 semantics (A1, A8, F3, T3, W1, W4, J1, J11)."""
+
+from pyspark.sql import functions as F
+
+
+def test_similarity_report_columns_and_order(fd):
+    sim = fd.similarity()
+    cols = set(sim.columns)
+    assert {"src", "dst", "jaccard", "url_from", "url_to"} <= cols
+    vals = [r["jaccard"] for r in sim.limit(50).collect()]
+    assert vals == sorted(vals, reverse=True)  # T1: sorted desc
+
+
+def test_outliers_report(fd):
+    out = fd.outliers()
+    n_docs = fd.docs().count()
+    n = out.count()
+    assert n == int(n_docs * fd.config.outlier_pct)
+    assert {"doc_id", "best_sim", "best_nn", "url"} <= set(out.columns)
+    # outliers are the docs with the weakest best-neighbor similarity
+    mx = out.agg(F.max("best_sim")).first()[0]
+    assert mx <= fd.config.threshold
+
+
+def test_components_drop_singletons(fd):
+    comps = fd.components()
+    assert comps.filter("count < 2").count() == 0
+    with_single = fd.components(include_singletons=True)
+    assert with_single.count() > comps.count()
+
+
+def test_components_grouped_contract(fd):
+    g = fd.components_grouped(min_size=2, limit=10)
+    rows = g.collect()
+    assert len(rows) <= 10
+    sizes = [r["count"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)  # T3 sort by size desc
+    for r in rows:
+        assert len(r["urls"]) == r["count"]
+        assert len(r["doc_ids"]) == r["count"]
+        assert r["urls"] == sorted(r["urls"])
+
+
+def test_duplicates_decision_table(fd):
+    dups = fd.duplicates()
+    asg = fd.store.read(fd.spark, "assignments")
+    sizes = asg.groupBy("component_id").count().filter("count >= 2")
+    expected = sizes.agg(F.sum(F.col("count") - 1)).first()[0]
+    assert dups.count() == expected
+    # survivors (min doc_id per component) never appear
+    mins = {r["m"] for r in asg.join(sizes, "component_id")
+            .groupBy("component_id").agg(F.min("doc_id").alias("m")).collect()}
+    listed = {r["doc_id"] for r in dups.collect()}
+    assert mins.isdisjoint(listed)
+
+
+def test_doc_stats_columns(fd):
+    st = fd.doc_stats()
+    need = {"doc_id", "n_chars", "n_tokens", "n_lines", "distinct_token_ratio",
+            "repeated_line_ratio", "digit_ratio", "punct_ratio", "avg_token_len"}
+    assert need <= set(st.columns)
+    assert st.filter("n_chars <= 0").count() == 0
+
+
+def test_component_pairs_hierarchical(fd):
+    cp = fd.component_pairs()
+    assert {"comp_a", "comp_b", "max_jaccard", "n_edges"} <= set(cp.columns)
+    assert cp.filter("comp_a >= comp_b").count() == 0
+
+
+def test_search_finds_duplicates(fd, data):
+    """Probing the index with a planted exact-dup text returns its copies."""
+    tp = data.truth_pairs
+    exact = tp[tp.kind == "exact"].iloc[0]
+    texts = dict(zip(data.pages["url"], data.pages["text"]))
+    res = fd.search(texts[exact.src_url], k=5).collect()
+    urls = {r["url"] for r in res}
+    assert exact.src_url in urls and exact.dst_url in urls
+    top = res[0]
+    assert top["jaccard"] == 1.0
+
+
+def test_quarantine_table(fd, data):
+    q = fd.quarantine()
+    n_bad = (data.pages["text"] == "").sum()
+    assert q.count() == n_bad
+    assert {"url", "warc_ts", "error_code"} <= set(q.columns)
