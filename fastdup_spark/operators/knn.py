@@ -11,7 +11,10 @@ prebuilt index with a query item (/root/reference/fastdup/__init__.py:2063-2303)
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,7 +73,6 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
     Bucket = sign-bit pattern of dot products with ``n_planes`` fixed random
     hyperplanes. Vectorized numpy inside a pandas UDF (Arrow batches).
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
@@ -80,7 +82,7 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
     planes = rng.standard_normal((dim, n_planes))
 
     @pandas_udf(LongType())
-    def _bucket(it):
+    def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
             signs = (mat @ planes) > 0                      # (n, planes)

@@ -45,6 +45,42 @@ STAGES = ["docs", "quarantine", "doc_stats", "signatures", "buckets",
           "assignments", "component_info", "outliers"]
 
 
+def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """In-memory (storeless) MinHash->LSH->verify->CC chain over any
+    DataFrame with (id, text) — the flagship query in library form.
+
+    Returns dict of DataFrames: sigs, candidates, pairs (scored), edges
+    (>= threshold), assignments.
+    """
+    cfg = cfg or PipelineConfig()
+    minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
+    sigs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("tokens", normalize_tokens_expr(F.col("text")))
+        .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
+        .withColumn("minhash", minhash_udf(F.col("shingles")))
+        .select("doc_id", "minhash", "shingles")
+    )
+    buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
+    stats = bucket_stats(buckets)
+    salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
+    cands = candidate_pairs(salted)
+    sh = sigs.select("doc_id", "shingles")
+    pairs = (
+        cands
+        .join(sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a")), "src")
+        .join(sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b")), "dst")
+        .withColumn("jaccard", exact_jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .select("src", "dst", "jaccard")
+    )
+    edges = pairs.filter(F.col("jaccard") >= cfg.threshold)
+    asg = connected_components(edges.select("src", "dst"),
+                               vertices=sigs.select("doc_id"))
+    return {"sigs": sigs, "candidates": cands, "pairs": pairs,
+            "edges": edges, "assignments": asg}
+
+
 class FastdupSpark:
     """create(work_dir) -> run(pages) -> query results (fastdup v1 API shape)."""
 

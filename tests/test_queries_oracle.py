@@ -1,0 +1,81 @@
+"""Mimics the driver's correctness gate: run every queries() entry on Spark
+and its oracle_sql() on DuckDB at sf0.01, compare row count + schema + values
+(order-insensitive)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+ORACLE = entrymod.oracle_sql()
+CHECKED = sorted(ORACLE)
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = _canon(q(spark, SF_DIR).toPandas())
+    want = _canon(ddb.sql(ORACLE[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = pd.to_numeric(a, errors="coerce")
+            b = pd.to_numeric(b, errors="coerce")
+            bad = (~((a - b).abs() <= 1e-6)) & ~(a.isna() & b.isna())
+        else:
+            try:
+                bad = a.astype(str) != b.astype(str)
+            except (TypeError, ValueError):
+                bad = a != b
+        assert not bad.any(), (
+            f"{name}.{c}: {int(bad.sum())} mismatches, e.g. "
+            f"{a[bad].head(3).tolist()} vs {b[bad].head(3).tolist()}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n >= 0
+    assert set(df.columns) == {"component_id", "count", "min_doc_id"}
