@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark: headline dedup pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus (in the same JSON object) dedup throughput in docs/hour and the
+two-parallelism scaling measurement required by BASELINE.md: the identical
+pipeline job run at local[8] and local[32] on the same input, with
+efficiency = (T_8 / T_32) / 4  (1.0 = perfect linear scaling).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main run (default 32)
+  BENCH_SCALING=0      skip the scaling subprocess runs (fast iteration)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# pages corpus size per sf tier (FIXTURES.md §B scales)
+N_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
+SF = float(SF_NAME.replace("sf", "")) if SF_NAME.startswith("sf") else 0.1
+
+
+def pages_path(n_docs: int) -> str:
+    """Deterministic synthetic pages corpus, cached as parquet."""
+    out = f"/tmp/fastdup_bench_pages_{n_docs}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from fastdup_spark.fixtures.pages import generate_pages, write_pages_parquet
+        data = generate_pages(n_docs, seed=42)
+        write_pages_parquet(data, out)
+        open(marker, "w").close()
+    return os.path.join(out, "pages.parquet")
+
+
+def run_pipeline(master_cores: int, pages_parquet: str, work_dir: str) -> float:
+    """One full pipeline run (extract -> ... -> outliers); returns seconds."""
+    import shutil
+
+    from fastdup_spark import FastdupSpark, get_spark
+
+    spark = get_spark("fastdup-bench", master=f"local[{master_cores}]",
+                      shuffle_partitions=max(master_cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    pages = spark.read.parquet(pages_parquet)
+    fd = FastdupSpark(spark, work_dir)
+    t0 = time.time()
+    fd.run(pages, force=True)
+    return time.time() - t0
+
+
+def scaling_run(cores: int, pages_parquet: str) -> float:
+    """Run the pipeline in a fresh subprocess (own JVM) at given parallelism."""
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "from bench import run_pipeline;"
+        "print('ELAPSED', run_pipeline(%d, %r, '/tmp/fd_scaling_%d'))"
+        % (REPO, cores, pages_parquet, cores)
+    )
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_CPUS", None)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling run at {cores} cores failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    import shutil
+
+    import __spark_entry__ as entrymod
+    from fastdup_spark import get_spark
+
+    n_docs = N_DOCS.get(SF_NAME, 100_000)
+    pp = pages_path(n_docs)
+
+    spark = get_spark("fastdup-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # headline: full dedup pipeline over the synthetic pages corpus
+    from fastdup_spark import FastdupSpark
+    work = "/tmp/fd_bench_work"
+    shutil.rmtree(work, ignore_errors=True)
+    pages = spark.read.parquet(pp)
+    fd = FastdupSpark(spark, work)
+    t0 = time.time()
+    summ = fd.run(pages, force=True)
+    timings["dedup_pipeline"] = round(time.time() - t0, 3)
+    throughput_docs_per_hour = 3600.0 * summ["total_pages"] / timings["dedup_pipeline"]
+
+    # representative per-operator queries over the driver's testdata
+    qs = entrymod.queries()
+    for name in ["exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_dedup",
+                 "lineitem_pricing_summary", "orders_per_nation",
+                 "top2_orders_per_customer", "cosine_to_query",
+                 "token_counts", "events_high_water"]:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # scaling-efficiency proxy: same job, local[8] vs local[32] (BASELINE.md)
+    scaling = None
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        t8 = scaling_run(8, pp)
+        t32 = scaling_run(32, pp)
+        scaling = {
+            "cores_low": 8, "cores_high": 32,
+            "sec_low": round(t8, 3), "sec_high": round(t32, 3),
+            "throughput_low_docs_h": round(3600.0 * n_docs / t8, 1),
+            "throughput_high_docs_h": round(3600.0 * n_docs / t32, 1),
+            "efficiency": round((t8 / t32) / 4.0, 4),
+        }
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "n_pages": int(summ["total_pages"]),
+        "dedup_docs_per_hour": round(throughput_docs_per_hour, 1),
+        "summary": summ,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+    # append the measured run to BENCH/BASELINE.md (BASELINE.md protocol)
+    try:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(f"\n## bench run (sf={SF}, n_pages={summ['total_pages']})\n\n")
+            f.write(f"- dedup pipeline: {timings['dedup_pipeline']}s "
+                    f"({throughput_docs_per_hour:,.0f} docs/hour at local[{CPUS}])\n")
+            if scaling:
+                f.write(f"- scaling: local[8]={scaling['sec_low']}s "
+                        f"({scaling['throughput_low_docs_h']:,.0f} docs/h), "
+                        f"local[32]={scaling['sec_high']}s "
+                        f"({scaling['throughput_high_docs_h']:,.0f} docs/h), "
+                        f"efficiency={scaling['efficiency']}\n")
+            for k, v in timings.items():
+                f.write(f"- {k}: {v}s\n")
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-# Prime just above 2^32: (a*x+b) % P with a,b,x < 2^32 fits in uint64.
-MERSENNE_P = 4294967311
-EMPTY_SENTINEL = MERSENNE_P  # unreachable by `% P`; marks empty shingle sets
+# Multiply-shift universal hashing (Dietzfelbinger et al.): h_i(x) =
+# (a_i * x + b_i) >> 32 over uint64 with a_i odd — 2-universal on 32-bit
+# outputs, and pure mul/add/shift (SIMD-fast; numpy's uint64 modulo hits a
+# pathologically slow scalar path on large arrays).
+HASH_SHIFT = np.uint64(32)
+EMPTY_SENTINEL = 1 << 32  # above any 32-bit hash; marks empty shingle sets
 
 
 def normalize_tokens_expr(text_col: Column) -> Column:
@@ -64,8 +67,8 @@ def shingles_expr(tokens_col: Column, k: int) -> Column:
 def minhash_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Fixed (a, b) permutation constants — pure function of (n_perm, seed)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = (rng.integers(1, 1 << 32, size=n_perm, dtype=np.uint64) | 1)  # odd, non-zero
-    b = rng.integers(0, 1 << 32, size=n_perm, dtype=np.uint64)
+    a = rng.integers(1, 1 << 63, size=n_perm, dtype=np.uint64) | np.uint64(1)  # odd
+    b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
     return a, b
 
 
@@ -76,12 +79,67 @@ def _fold32(x: np.ndarray) -> np.ndarray:
 
 
 def minhash_numpy(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Signature for ONE doc: row-min of (a_i*x + b_i) mod P over shingles."""
+    """Signature for ONE doc: row-min of ((a_i*x + b_i) >> 32) over shingles."""
     if shingles.size == 0:
         return np.full(a.shape[0], EMPTY_SENTINEL, dtype=np.int64)
     x = _fold32(np.asarray(shingles, dtype=np.int64))          # (s,)
-    h = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(MERSENNE_P)  # (p, s)
+    h = (a[:, None] * x[None, :] + b[:, None]) >> HASH_SHIFT   # (p, s)
     return h.min(axis=1).astype(np.int64)
+
+
+# bound the (n_perm x shingles) scratch matrix per chunk (16 MB at n_perm=128
+# — small enough to stay cache/TLB-friendly; the buffer is allocated ONCE per
+# worker and reused, because fresh large allocations pay heavy first-touch
+# page-fault costs under virtualized kernels)
+_MINHASH_CHUNK_SHINGLES = 1 << 14
+
+
+def _chunk_rows(lens: np.ndarray, nonempty: np.ndarray, pos: int, cap: int) -> int:
+    """How many rows starting at pos fit within cap total shingles (>=1)."""
+    take, total = 0, 0
+    while pos + take < nonempty.size and (
+            total == 0 or total + lens[nonempty[pos + take]] <= cap):
+        total += lens[nonempty[pos + take]]
+        take += 1
+    return take
+
+
+def minhash_batch(shingle_lists, a: np.ndarray, b: np.ndarray,
+                  scratch: np.ndarray | None = None) -> list[np.ndarray]:
+    """Signatures for a WHOLE Arrow batch with zero per-row Python:
+    concatenate all shingles, hash once, segment-min via
+    np.minimum.reduceat. Chunked over rows; all heavy ops write into a
+    reusable scratch buffer (no large temporaries)."""
+    n_perm = a.shape[0]
+    lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
+                       count=len(shingle_lists))
+    out: list[np.ndarray] = [None] * len(lens)  # type: ignore[list-item]
+    empty_sig = np.full(n_perm, EMPTY_SENTINEL, dtype=np.int64)
+    nonempty = np.nonzero(lens > 0)[0]
+    for i in np.nonzero(lens == 0)[0]:
+        out[i] = empty_sig
+    a_col = a[:, None]
+    b_col = b[:, None]
+    pos = 0
+    while pos < nonempty.size:
+        take = _chunk_rows(lens, nonempty, pos, _MINHASH_CHUNK_SHINGLES)
+        rows = nonempty[pos:pos + take]
+        x = _fold32(np.concatenate([np.asarray(shingle_lists[i], dtype=np.int64) for i in rows]))
+        m = x.size
+        if scratch is None or scratch.shape[1] < m:
+            scratch = np.empty((n_perm, max(m, _MINHASH_CHUNK_SHINGLES)), dtype=np.uint64)
+        h = scratch[:, :m]
+        np.multiply(a_col, x[None, :], out=h)
+        np.add(h, b_col, out=h)
+        np.right_shift(h, HASH_SHIFT, out=h)                    # (p, m)
+        starts = np.zeros(take, dtype=np.int64)
+        np.cumsum(lens[rows][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(h, starts, axis=1)           # (p, take)
+        sigs = mins.T.astype(np.int64)
+        for j, i in enumerate(rows):
+            out[i] = sigs[j]
+        pos += take
+    return out
 
 
 def make_minhash_udf(n_perm: int, seed: int):
@@ -92,9 +150,9 @@ def make_minhash_udf(n_perm: int, seed: int):
 
     @pandas_udf(ArrayType(LongType()))
     def _minhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scratch = np.empty((n_perm, _MINHASH_CHUNK_SHINGLES), dtype=np.uint64)
         for batch in it:
-            out = [minhash_numpy(np.asarray(sh, dtype=np.int64), a, b) for sh in batch]
-            yield pd.Series(out)
+            yield pd.Series(minhash_batch(batch.to_numpy(), a, b, scratch=scratch))
 
     return _minhash
 
@@ -113,6 +171,41 @@ def simhash_numpy(shingles: np.ndarray) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp  # reinterpret as signed int64
 
 
+def simhash_batch(shingle_lists) -> np.ndarray:
+    """SimHash for a WHOLE Arrow batch: unpack bits of the concatenated
+    shingle hashes, segment-sum per row via np.add.reduceat."""
+    n = len(shingle_lists)
+    lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if nonempty.size == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+    bits = np.empty((_MINHASH_CHUNK_SHINGLES, 64), dtype=np.int64)  # reused scratch
+    pos = 0
+    while pos < nonempty.size:  # chunk rows to bound the (S, 64) bit matrix
+        take = _chunk_rows(lens, nonempty, pos, _MINHASH_CHUNK_SHINGLES)
+        rows = nonempty[pos:pos + take]
+        x = np.concatenate([np.asarray(shingle_lists[i], dtype=np.int64) for i in rows]) \
+            .astype(np.uint64)
+        m = x.size
+        if m > bits.shape[0]:
+            bits = np.empty((m, 64), dtype=np.int64)
+        bview = bits[:m]
+        np.right_shift(x[:, None], shifts[None, :], out=bview.view(np.uint64))
+        np.bitwise_and(bview, 1, out=bview)                     # (m, 64)
+        starts = np.zeros(take, dtype=np.int64)
+        np.cumsum(lens[rows][:-1], out=starts[1:])
+        votes = np.add.reduceat(bview, starts, axis=0)          # (rows, 64)
+        majority = votes * 2 > lens[rows][:, None]              # ties -> 0
+        fps = (majority.astype(np.uint64) * weights[None, :]).sum(axis=1,
+                                                                  dtype=np.uint64)
+        out[rows] = fps.view(np.int64)
+        pos += take
+    return out
+
+
 def make_simhash_udf():
     """Scalar-iter pandas UDF: array<bigint> shingles -> bigint fingerprint."""
     from pyspark.sql.functions import pandas_udf
@@ -120,9 +213,6 @@ def make_simhash_udf():
     @pandas_udf(LongType())
     def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            yield pd.Series(
-                [simhash_numpy(np.asarray(sh, dtype=np.int64)) for sh in batch],
-                dtype=np.int64,
-            )
+            yield pd.Series(simhash_batch(batch.to_numpy()), dtype=np.int64)
 
     return _simhash
