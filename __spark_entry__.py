@@ -371,6 +371,27 @@ def q_part_type_stats(spark, sf):
     )
 
 
+def q_classification_report(spark, sf):
+    """A13 classification report (precision/recall/F1/support per class) over
+    embeddings labels vs a deterministic synthetic prediction."""
+    from fastdup_spark.operators.labels import classification_report
+
+    e = _t(spark, sf, "embeddings")
+    pred = e.select(F.col("label").cast("long").alias("label"),
+                    (F.col("vec_id") % 10).cast("long").alias("prediction"))
+    return classification_report(pred).withColumnRenamed("class", "clazz")
+
+
+def q_label_majority_vote(spark, sf):
+    """A5 top_k_label majority vote: dominant order priority per customer."""
+    from fastdup_spark.operators.labels import top_k_label
+
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 300)
+    pairs = o.select(F.col("o_custkey").alias("src"),
+                     F.col("o_orderpriority").alias("label2"))
+    return top_k_label(pairs, min_count=3)
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only driver check; pytest oracles in tests/)
 # --------------------------------------------------------------------------
@@ -464,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentile_outliers": q_events_percentile_outliers,
         "ntile_sampling": q_ntile_sampling,
         "part_type_stats": q_part_type_stats,
+        "classification_report": q_classification_report,
+        "label_majority_vote": q_label_majority_vote,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -678,5 +701,58 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 4) AS avg_price,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand, string_split(p_type, ' ')[1]
+        """,
+        "classification_report": """
+            WITH pred AS (
+              SELECT cast(label AS BIGINT) AS label,
+                     cast(vec_id % 10 AS BIGINT) AS prediction
+              FROM embeddings
+            ),
+            tp AS (
+              SELECT label AS clazz, count(*) AS tp FROM pred
+              WHERE label = prediction GROUP BY label
+            ),
+            sup AS (SELECT label AS clazz, count(*) AS support FROM pred GROUP BY label),
+            prd AS (SELECT prediction AS clazz, count(*) AS predicted FROM pred GROUP BY prediction),
+            rep AS (
+              SELECT coalesce(sup.clazz, prd.clazz) AS clazz,
+                     coalesce(tp.tp, 0) AS tp,
+                     coalesce(sup.support, 0) AS support,
+                     coalesce(prd.predicted, 0) AS predicted
+              FROM sup FULL OUTER JOIN prd ON sup.clazz = prd.clazz
+              LEFT JOIN tp ON coalesce(sup.clazz, prd.clazz) = tp.clazz
+            ),
+            pr AS (
+              SELECT clazz, tp, support, predicted,
+                     CASE WHEN predicted = 0 THEN 0.0
+                          ELSE round(tp * 1.0 / predicted, 6) END AS precision,
+                     CASE WHEN support = 0 THEN 0.0
+                          ELSE round(tp * 1.0 / support, 6) END AS recall
+              FROM rep
+            )
+            SELECT clazz, tp, support, predicted, precision, recall,
+                   CASE WHEN precision + recall = 0 THEN 0.0
+                        ELSE round(2 * precision * recall / (precision + recall), 6)
+                   END AS f1
+            FROM pr
+        """,
+        "label_majority_vote": """
+            WITH counts AS (
+              SELECT o_custkey AS src, o_orderpriority AS label2,
+                     count(*) AS cnt
+              FROM orders WHERE o_custkey < 300
+              GROUP BY o_custkey, o_orderpriority
+            ),
+            totals AS (SELECT src, sum(cnt) AS total FROM counts GROUP BY src),
+            ranked AS (
+              SELECT src, label2, cnt,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, label2 ASC) AS rk
+              FROM counts
+            )
+            SELECT r.src,
+                   CASE WHEN r.cnt >= 3 THEN r.label2 ELSE 'Unknown' END AS predicted,
+                   r.cnt, t.total
+            FROM ranked r JOIN totals t ON r.src = t.src WHERE r.rk = 1
         """,
     }

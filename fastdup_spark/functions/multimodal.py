@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The reference is image-native (decode inside the C++ engine; corrupted files
+land in atrain_features.bad.csv). This engine treats media as `binary`
+columns with real Spark plumbing — schema, Arrow batch shape, partitioning,
+quarantine — while the codec call itself is STUBBED behind
+``NotImplementedError`` / a deterministic fake, because no image/audio
+libraries ship in this environment. Swapping `_decode_image_real` for a
+PIL/libvips body changes nothing else.
+
+All functions are `mapInPandas` iterators: one Arrow batch in, one out; the
+per-batch loop is the codec boundary (exactly how the extraction UDF works).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_bytes", LongType(), False),
+    StructField("format", StringType(), True),
+    StructField("error_code", StringType(), True),
+])
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("embedding", ArrayType(FloatType()), True),
+    StructField("error_code", StringType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def _decode_image_real(raw: bytes) -> tuple[int, int, str]:
+    """Real codec hook — intentionally unimplemented in this environment."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips; use deterministic_fake=True "
+        "or swap this hook in a deployment with codec libraries")
+
+
+def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decode: metadata derived purely from the bytes so
+    tests exercise the full distributed plumbing with stable results."""
+    if len(raw) < 8:
+        raise ValueError("truncated media")
+    h = int.from_bytes(raw[:8], "little")
+    return (64 + h % 1920, 64 + (h >> 16) % 1080, ["jpeg", "png", "webp"][h % 3])
+
+
+def decode_image_meta(media: DataFrame, id_col: str = "media_id",
+                      bytes_col: str = "content",
+                      deterministic_fake: bool = True) -> DataFrame:
+    """BINARY -> typed metadata with quarantine semantics (error_code)."""
+    decode = _decode_image_fake if deterministic_fake else _decode_image_real
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    w, h, fmt = decode(raw)
+                    rows.append((mid, w, h, len(raw), fmt, None))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((mid, None, None, len(raw), None, type(e).__name__))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA])
+
+    return media.select(id_col, bytes_col).mapInPandas(_run, IMAGE_META_SCHEMA)
+
+
+def extract_image_features(media: DataFrame, dim: int = 64,
+                           id_col: str = "media_id", bytes_col: str = "content",
+                           deterministic_fake: bool = True) -> DataFrame:
+    """BINARY -> float embedding (the CNN-inference analog, d=576 in the
+    reference). Fake path: seeded hash-of-bytes vector — deterministic, so
+    downstream ANN/dedup plumbing is fully testable."""
+    if not deterministic_fake:
+        raise NotImplementedError("real feature extraction needs a model runtime")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(raw) if raw is not None else b""
+                if len(raw) < 8:
+                    rows.append((mid, None, "ValueError"))
+                    continue
+                seed = int.from_bytes(raw[:8], "little") & 0x7FFFFFFF
+                rng = np.random.Generator(np.random.PCG64(seed))
+                vec = rng.standard_normal(dim).astype(np.float32)
+                rows.append((mid, vec.tolist(), None))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA])
+
+    return media.select(id_col, bytes_col).mapInPandas(_run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1 << 16,
+                  max_frames: int = 8, id_col: str = "media_id",
+                  bytes_col: str = "content") -> DataFrame:
+    """Video frame-sampling analog (ref extract_video_frames, 1 fps): emit
+    up to max_frames byte-slices per blob — a one-to-many mapInPandas
+    (explode-shaped) with the real partitioning/batch behavior of a frame
+    sampler; the slice stands in for an ffmpeg-decoded frame."""
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(raw) if raw is not None else b""
+                n = min(max_frames, max(1, len(raw) // every_n_bytes))
+                for i in range(n):
+                    start = i * every_n_bytes
+                    rows.append((mid, i, raw[start:start + 256]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.select(id_col, bytes_col).mapInPandas(_run, FRAME_SCHEMA)

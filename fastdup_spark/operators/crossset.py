@@ -1,0 +1,63 @@
+"""Train/test cross-set restriction and embedding-cosine near-dup.
+
+Reference analogs:
+  * `test_dir` mode computes ONLY test<->train edges, never intra-set pairs
+    (J9, /root/reference/RUN.md:189-192, __init__.py:529-534) — the
+    decontamination query of a training pipeline: is any eval doc a
+    near-duplicate of a training doc?
+  * embeddings-given mode (`run(embeddings=...)`,
+    fastdup_controller.py:149-155): near-dup over dense vectors instead of
+    shingles — here hyperplane-LSH buckets + in-bucket cosine + CC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastdup_spark.functions.similarity import cosine_expr
+from fastdup_spark.operators.cc import connected_components
+from fastdup_spark.operators.knn import hyperplane_buckets
+
+
+def restrict_cross_set(pairs: DataFrame, tags: DataFrame,
+                       id_col: str = "doc_id", tag_col: str = "split") -> DataFrame:
+    """J9: keep only pairs whose endpoints belong to different splits."""
+    t1 = tags.select(F.col(id_col).alias("src"), F.col(tag_col).alias("split_src"))
+    t2 = tags.select(F.col(id_col).alias("dst"), F.col(tag_col).alias("split_dst"))
+    return (
+        pairs.join(t1, "src").join(t2, "dst")
+        .filter(F.col("split_src") != F.col("split_dst"))
+    )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 12, seed: int = 7,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       ) -> dict[str, DataFrame]:
+    """Embedding-cosine near-dup: hyperplane-LSH bucket self-join -> cosine
+    verify >= threshold -> connected components.
+
+    Same plan shape as the MinHash pipeline: bucket (index) -> candidate
+    self-join (shuffle on bucket, AQE skew) -> verify -> CC. At scale, run
+    with several independent plane sets (bands) for recall; one set here.
+    """
+    b = hyperplane_buckets(embeddings, n_planes=n_planes, seed=seed,
+                           id_col=id_col, vec_col=vec_col)
+    left = b.select("bucket", F.col(id_col).alias("src"),
+                    F.col(vec_col).alias("va"))
+    right = b.select("bucket", F.col(id_col).alias("dst"),
+                     F.col(vec_col).alias("vb"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("cosine", cosine_expr(F.col("va").cast("array<double>"),
+                                          F.col("vb").cast("array<double>")))
+        .select("src", "dst", "cosine")
+        .dropDuplicates(["src", "dst"])
+    )
+    edges = pairs.filter(F.col("cosine") >= threshold)
+    asg = connected_components(
+        edges.select("src", "dst"),
+        vertices=embeddings.select(F.col(id_col).alias("doc_id")))
+    return {"buckets": b, "pairs": pairs, "edges": edges, "assignments": asg}

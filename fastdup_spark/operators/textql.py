@@ -31,11 +31,11 @@ def lang_id_expr(text_col: Column) -> Column:
     n_chars = F.length(t)
     cjk_chars = n_chars - F.length(F.regexp_replace(t, r"[一-鿿]", ""))
     toks = _tokens(t)
-    scores = {
-        lang: F.size(F.filter(
-            toks, lambda x, _sw=STOPWORDS[lang]: x.isin(*_sw)))
-        for lang in _LATIN_LANGS
-    }
+
+    def _votes(sw: list[str]):
+        return F.size(F.filter(toks, lambda x: x.isin(*sw)))
+
+    scores = {lang: _votes(STOPWORDS[lang]) for lang in _LATIN_LANGS}
     best = F.greatest(*scores.values())
     latin_pick = F.lit("und")
     for lang in reversed(_LATIN_LANGS):  # earlier langs win ties (en first)

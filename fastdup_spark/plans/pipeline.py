@@ -345,6 +345,69 @@ class FastdupSpark:
         m = self.store.read_json("run_manifest")
         return m["summary"] if m else {}
 
+    def export(self, stage: str, path: str, fmt: str = "csv") -> None:
+        """≈ the reference's CSV result sinks (S9: similarity.csv,
+        connected_components.csv, ...): materialize a stage table to csv/json
+        for downstream consumers. Array columns are stringified for csv."""
+        df = self.store.read(self.spark, stage)
+        if fmt == "csv":
+            for f in df.schema.fields:
+                if f.dataType.typeName() in ("array", "struct", "map", "binary"):
+                    df = df.withColumn(f.name, F.to_json(F.col(f.name)))
+            df.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            df.write.mode("overwrite").format(fmt).save(path)
+
+    def update(self, new_pages: DataFrame) -> dict:
+        """Incremental ingest of a new page batch (streaming analog, §2.8)."""
+        from fastdup_spark.streaming.incremental import incremental_update
+        return incremental_update(self, new_pages)
+
+    # ---------------------------------------------------------- annotations
+    def set_annotations(self, annot: DataFrame, on: str = "url") -> None:
+        """≈ run(annotations=...): persist a user annotation table keyed by
+        url (ref fastdup_controller.py:560-586)."""
+        if on not in annot.columns:
+            raise ValueError(f"annotation DataFrame needs a '{on}' column")
+        self.store.write(annot, "annotations", self._chash)
+
+    def annotations(self) -> DataFrame:
+        """≈ fd.annotations(): docs ⟗ annotations with VALID /
+        MISSING_ANNOTATION / MISSING_DOC status (J5)."""
+        from fastdup_spark.operators.labels import expand_with_annotations
+        annot = self.store.read(self.spark, "annotations")
+        return expand_with_annotations(self.docs(), annot, on="url")
+
+    def similarity_with_labels(self) -> DataFrame:
+        """≈ similarity() enriched with per-side labels (J4)."""
+        from fastdup_spark.operators.labels import enrich_pairs_with_labels
+        annot = self.store.read(self.spark, "annotations")
+        labels = self.docs().select("doc_id", "url").join(annot, "url", "left") \
+            .select("doc_id", "label")
+        sim = self.store.read(self.spark, "similarity")
+        return enrich_pairs_with_labels(sim, labels)
+
+    def sample_components(self, howmany: int = 3) -> DataFrame:
+        """W7 uniform sampling: ntile-spaced members per component ≥ 2
+        (ref utils.py:455-476)."""
+        from pyspark.sql import Window
+        df = self.components()
+        w = Window.partitionBy("component_id").orderBy("doc_id")
+        wt = Window.partitionBy("component_id", "tile").orderBy("doc_id")
+        return (
+            df.withColumn("tile", F.ntile(howmany).over(w))
+            .withColumn("rn", F.row_number().over(wt))
+            .filter("rn = 1")
+            .select("component_id", "doc_id", "url", "tile")
+        )
+
+    def cross_host_pairs(self) -> DataFrame:
+        """J10 analog (video cross-dir -> webtext cross-host): similarity
+        edges whose endpoints live on different hosts (true mirrors)."""
+        sim = self.similarity()
+        host = lambda c: F.regexp_extract(c, r"https?://([^/]+)/", 1)  # noqa: E731
+        return sim.filter(host(F.col("url_from")) != host(F.col("url_to")))
+
     def search(self, query_text: str, k: int = 10) -> DataFrame:
         """≈ fd.search(): probe the persisted bucket index with one query doc.
 

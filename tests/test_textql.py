@@ -1,0 +1,90 @@
+"""Text-analysis operators: language ID accuracy on the synthetic corpus,
+quality score bounds, token counting, fingerprints (winnowing + content)."""
+
+from pyspark.sql import functions as F
+
+from fastdup_spark.functions.signatures import normalize_tokens_expr, shingles_expr
+from fastdup_spark.operators.textql import (
+    content_fingerprint_expr, lang_id_expr, quality_score_expr,
+    token_count_bpe_expr, token_count_ws_expr, winnow_fingerprints_expr,
+)
+
+
+def test_lang_id_accuracy(spark, spark_data):
+    pages, _, _ = spark_data
+    scored = (
+        pages.filter(F.col("text") != "")
+        .select("lang", lang_id_expr(F.col("text")).alias("pred"))
+        .withColumn("hit", (F.col("lang") == F.col("pred")).cast("int"))
+        .agg(F.avg("hit").alias("acc"))
+        .first()
+    )
+    assert scored["acc"] >= 0.95, f"lang-id accuracy {scored['acc']:.3f}"
+
+
+def test_lang_id_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("zzqq qqzz xxyy",), ("这个 是 我们 的 文档",),
+         ("the cat and the dog of the house is big",)],
+        "text string")
+    got = [r["l"] for r in df.select(lang_id_expr(F.col("text")).alias("l")).collect()]
+    assert got[0] == "und"
+    assert got[1] == "und"
+    assert got[2] == "zh"
+    assert got[3] == "en"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, it's 3.5 tests",), ("",)], "text string")
+    rows = df.select(
+        token_count_ws_expr(F.col("text")).alias("ws"),
+        token_count_bpe_expr(F.col("text")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 5
+    assert rows[0]["bpe"] >= 7  # punctuation tokenized separately
+    assert rows[1]["ws"] == 0
+
+
+def test_quality_score_bounds(spark, spark_data):
+    pages, _, _ = spark_data
+    stats = (
+        pages.filter(F.col("text") != "")
+        .select(quality_score_expr(F.col("text")).alias("q"))
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"), F.avg("q").alias("avg"))
+        .first()
+    )
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+    assert stats["avg"] > 0.5  # synthetic corpus is clean text
+
+
+def test_quality_penalizes_garbage(spark):
+    df = spark.createDataFrame(
+        [("a normal readable sentence with plenty of words in it and decent length for scoring",),
+         ("1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0",),
+         ("x",)],
+        "text string")
+    q = [r["q"] for r in df.select(quality_score_expr(F.col("text")).alias("q")).collect()]
+    assert q[0] > q[1] > 0
+    assert q[0] > q[2]
+
+
+def test_content_fingerprint_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [("Hello   world.",), ("hello world",), ("different text",)], "text string")
+    fps = [r["f"] for r in df.select(content_fingerprint_expr(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_winnow_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15",)], "text string")
+    out = df.select(
+        winnow_fingerprints_expr(
+            shingles_expr(normalize_tokens_expr(F.col("text")), 3), window=4
+        ).alias("fp")
+    ).first()["fp"]
+    assert len(out) >= 1
+    # winnowed set is a subset of the shingle set
+    sh = df.select(shingles_expr(normalize_tokens_expr(F.col("text")), 3).alias("s")).first()["s"]
+    assert set(out) <= set(sh)
