@@ -389,24 +389,32 @@ def pages_to_spark(spark, data: PagesData):
     return pages, truth_pairs, truth_clusters
 
 
-def write_pages_parquet(data: PagesData, out_dir: str) -> None:
+def write_pages_parquet(data: PagesData, out_dir: str,
+                        rows_per_file: int = 4000) -> None:
+    """Write pages as a MULTI-FILE parquet dataset (like any real WARC-derived
+    table): Spark's parallelism on read comes from file splits, so a
+    single-file fixture would serialize the whole extract stage."""
     import os
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
     pages = data.pages
-    tbl = pa.Table.from_arrays(
-        [
-            pa.array(pages["url"], type=pa.string()),
-            pa.array(pages["warc_ts"].astype("datetime64[us]"), type=pa.timestamp("us")),
-            pa.array(pages["html"], type=pa.binary()),
-            pa.array(pages["text"], type=pa.string()),
-            pa.array(pages["lang"], type=pa.string()),
-        ],
-        names=["url", "warc_ts", "html", "text", "lang"],
-    )
-    pq.write_table(tbl, os.path.join(out_dir, "pages.parquet"))
+    n = len(pages)
+    for shard, lo in enumerate(range(0, n, rows_per_file)):
+        chunk = pages.iloc[lo:lo + rows_per_file]
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(chunk["url"], type=pa.string()),
+                pa.array(chunk["warc_ts"].astype("datetime64[us]"), type=pa.timestamp("us")),
+                pa.array(chunk["html"], type=pa.binary()),
+                pa.array(chunk["text"], type=pa.string()),
+                pa.array(chunk["lang"], type=pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+        pq.write_table(tbl, os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
     pq.write_table(pa.Table.from_pandas(data.truth_pairs, preserve_index=False),
                    os.path.join(out_dir, "truth_pairs.parquet"))
     pq.write_table(pa.Table.from_pandas(data.truth_clusters, preserve_index=False),

@@ -1,0 +1,36 @@
+from fastdup_spark.operators.cc import connected_components
+from fastdup_spark.operators.crossset import embedding_near_dup, restrict_cross_set
+from fastdup_spark.operators.dedup import (
+    duplicates_to_drop, exact_dup_groups, keep_first_policy, majority_label_policy,
+)
+from fastdup_spark.operators.knn import (
+    best_nn_per_query, cosine_topk_bruteforce, cosine_topk_lsh,
+    hyperplane_buckets, knn_truncate,
+)
+from fastdup_spark.operators.labels import (
+    classification_report, diff_label_pairs, enrich_pairs_with_labels,
+    expand_with_annotations, label_score, top_k_label,
+)
+from fastdup_spark.operators.lsh import (
+    band_buckets, bucket_stats, candidate_pairs, lsh_candidates, salt_buckets,
+)
+from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
+from fastdup_spark.operators.stats import doc_stats, summary_stats
+from fastdup_spark.operators.textql import (
+    content_fingerprint_expr, lang_id_expr, quality_score_expr,
+    token_count_bpe_expr, token_count_ws_expr, winnow_fingerprints_expr,
+)
+
+__all__ = [
+    "connected_components", "embedding_near_dup", "restrict_cross_set",
+    "duplicates_to_drop", "exact_dup_groups", "keep_first_policy",
+    "majority_label_policy", "best_nn_per_query", "cosine_topk_bruteforce",
+    "cosine_topk_lsh", "hyperplane_buckets", "knn_truncate",
+    "classification_report", "diff_label_pairs", "enrich_pairs_with_labels",
+    "expand_with_annotations", "label_score", "top_k_label",
+    "band_buckets", "bucket_stats", "candidate_pairs", "lsh_candidates",
+    "salt_buckets", "best_neighbor", "outliers_by_percentile",
+    "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
+    "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",
+    "winnow_fingerprints_expr",
+]

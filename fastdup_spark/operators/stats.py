@@ -43,18 +43,16 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "url") -> Dat
 
 
 def summary_stats(n_pages: int, n_valid: int, n_quarantined: int,
-                  assignments: DataFrame, pairs: DataFrame,
-                  outliers: DataFrame) -> dict:
-    """Run summary dict (≈ fd.summary()): totals, component histogram stats,
-    duplicate fractions — a handful of small aggregates over stage tables."""
-    comp_sizes = assignments.groupBy("component_id").count()
-    comp_row = comp_sizes.filter("count >= 2").agg(
+                  component_info: DataFrame, n_pairs: int,
+                  n_outliers: int) -> dict:
+    """Run summary dict (≈ fd.summary()). Scalar counts come from the stage
+    markers (no re-scans); only the component histogram needs one aggregate
+    over the (small) component_info table."""
+    comp_row = component_info.filter("count >= 2").agg(
         F.count("*").alias("n_components"),
         F.coalesce(F.max("count"), F.lit(0)).alias("largest_component"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("docs_in_components"),
     ).collect()[0]
-    n_pairs = pairs.count()
-    n_outliers = outliers.count()
     docs_in_comp = int(comp_row["docs_in_components"])
     return {
         "total_pages": n_pages,

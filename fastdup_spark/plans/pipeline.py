@@ -240,14 +240,14 @@ class FastdupSpark:
             self.store.write(out, "outliers", self._chash)
 
         # --- summary + manifest (ref: config.json + summary()) ---
-        n_pages = pages.count()
-        n_valid = docs.count()
-        n_bad = self.store.read(self.spark, "quarantine").count()
+        # scalar counts come from the stage markers — no table re-scans
+        n_valid = self.store.read_marker("docs")["rows"]
+        n_bad = self.store.read_marker("quarantine")["rows"]
         summ = summary_stats(
-            n_pages, n_valid, n_bad,
-            self.store.read(self.spark, "assignments"),
-            self.store.read(self.spark, "similarity"),
-            self.store.read(self.spark, "outliers"),
+            n_pages=n_valid + n_bad, n_valid=n_valid, n_quarantined=n_bad,
+            component_info=self.store.read(self.spark, "component_info"),
+            n_pairs=self.store.read_marker("similarity")["rows"],
+            n_outliers=self.store.read_marker("outliers")["rows"],
         )
         manifest = {"config": self.config.to_dict(), "config_hash": self._chash,
                     "summary": summ}
