@@ -44,9 +44,15 @@ def best_neighbor(all_docs: DataFrame, scored_pairs: DataFrame,
     )
 
 
-def outliers_by_percentile(best_nn: DataFrame, pct: float) -> DataFrame:
-    """Bottom floor(pct*n) docs by (best_sim asc, doc_id asc) — deterministic."""
-    n = best_nn.count()
+def outliers_by_percentile(best_nn: DataFrame, pct: float,
+                           n: int | None = None) -> DataFrame:
+    """Bottom floor(pct*n) docs by (best_sim asc, doc_id asc) — deterministic.
+
+    Pass ``n`` (total docs) when already known from a stage marker to save
+    the count job.
+    """
+    if n is None:
+        n = best_nn.count()
     k = int(n * pct)
     if k <= 0:
         return best_nn.limit(0)

@@ -40,7 +40,7 @@ from fastdup_spark.operators.stats import doc_stats as doc_stats_op
 from fastdup_spark.operators.stats import summary_stats
 from fastdup_spark.plans.store import StageStore
 
-STAGES = ["docs", "quarantine", "doc_stats", "signatures", "buckets",
+STAGES = ["extracted", "doc_stats", "signatures", "buckets",
           "candidates", "pairs_scored", "similarity", "containment",
           "assignments", "component_info", "outliers"]
 
@@ -107,15 +107,28 @@ class FastdupSpark:
             return (not force) and cfg.resume and self.store.is_complete(stage, self._chash)
 
         # --- stage 1: extract + quarantine (ref: decode + bad-files list) ---
-        if not (done("docs") and done("quarantine")):
-            ok, bad = split_extracted(pages, cfg.min_text_chars)
-            # doc_id = xxhash64(url): deterministic, order-independent identity
-            # (the reference uses listing order, RUN.md:106-115 — ours must not).
-            docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
-                "doc_id", "url", "warc_ts", "lang", "text")
-            self.store.write(docs, "docs", self._chash)
-            self.store.write(bad, "quarantine", self._chash)
-        docs = self.store.read(self.spark, "docs")
+        # ONE pass of the extraction UDF; valid and quarantined rows land in
+        # the same table partitioned by is_valid, so docs()/quarantine() are
+        # partition-pruned reads (the UDF would otherwise run once per sink).
+        if not done("extracted"):
+            from fastdup_spark.functions.extract import extract_text_udf
+            udf = extract_text_udf(cfg.min_text_chars)
+            ext = pages.withColumn("_ex", udf(F.col("html"))).select(
+                # doc_id = xxhash64(url): deterministic, order-independent
+                # identity (ref uses listing order, RUN.md:106-115 — ours must not)
+                F.xxhash64("url").alias("doc_id"),
+                "url", "warc_ts", "lang",
+                F.col("_ex.extracted_text").alias("text"),
+                F.col("_ex.error_code").alias("error_code"),
+                (F.col("_ex.error_code") == "").alias("is_valid"),
+            )
+            marker = self.store.write(ext, "extracted", self._chash,
+                                      partition_by=["is_valid"])
+            n_bad = sum(f["rows"] for f in marker["files"]
+                        if "is_valid=false" in f["file"])
+            self.store.write_json({"valid": marker["rows"] - n_bad, "bad": n_bad},
+                                  "extract_counts")
+        docs = self.docs()
 
         # --- stage 2: per-doc stats (ref: atrain_stats.csv) ---
         if not done("doc_stats"):
@@ -235,14 +248,16 @@ class FastdupSpark:
 
         # --- stage 7: outliers (ref: bottom 5% NN distance) ---
         if not done("outliers"):
+            n_docs = (self.store.read_json("extract_counts") or {}).get("valid")
             bn = best_neighbor(docs, scored, sim_col="jaccard")
-            out = outliers_by_percentile(bn, cfg.outlier_pct)
+            out = outliers_by_percentile(bn, cfg.outlier_pct, n=n_docs)
             self.store.write(out, "outliers", self._chash)
 
         # --- summary + manifest (ref: config.json + summary()) ---
         # scalar counts come from the stage markers — no table re-scans
-        n_valid = self.store.read_marker("docs")["rows"]
-        n_bad = self.store.read_marker("quarantine")["rows"]
+        counts = self.store.read_json("extract_counts") or {}
+        n_valid = counts.get("valid", 0)
+        n_bad = counts.get("bad", 0)
         summ = summary_stats(
             n_pages=n_valid + n_bad, n_valid=n_valid, n_quarantined=n_bad,
             component_info=self.store.read(self.spark, "component_info"),
@@ -256,11 +271,20 @@ class FastdupSpark:
 
     # -------------------------------------------------------- query surface
     def docs(self) -> DataFrame:
-        return self.store.read(self.spark, "docs")
+        """Valid extracted docs — a partition-pruned read of `extracted`."""
+        return (
+            self.store.read(self.spark, "extracted")
+            .filter(F.col("is_valid").cast("boolean"))  # partition col reads as string
+            .select("doc_id", "url", "warc_ts", "lang", "text")
+        )
 
     def quarantine(self) -> DataFrame:
         """≈ invalid_instances() / atrain_features.bad.csv."""
-        return self.store.read(self.spark, "quarantine")
+        return (
+            self.store.read(self.spark, "extracted")
+            .filter(~F.col("is_valid").cast("boolean"))
+            .select("url", "warc_ts", "error_code")
+        )
 
     def doc_stats(self) -> DataFrame:
         """≈ img_stats()."""

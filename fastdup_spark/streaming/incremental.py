@@ -47,7 +47,7 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     spark = fd.spark
     store = fd.store
 
-    docs_old = store.read(spark, "docs")
+    docs_old = fd.docs()
     hwm = high_water_mark(docs_old)
     fresh = new_pages.filter(F.col("warc_ts") > F.lit(hwm)) if hwm else new_pages
 
@@ -60,6 +60,7 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     if n_new == 0:
         return {"new_docs": 0, "new_pairs": 0, "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
+    n_new_bad = bad.count()
 
     minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
     simhash_udf = make_simhash_udf()
@@ -115,11 +116,22 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     n_pairs = scored_new.count()
 
     # append increments to the stage tables
+    new_extracted = new_docs.select(
+        "doc_id", "url", "warc_ts", "lang", "text",
+        F.lit("").alias("error_code"), F.lit(True).alias("is_valid"),
+    ).unionByName(bad.select(
+        F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "lang",
+        F.lit(None).cast("string").alias("text"),
+        "error_code", F.lit(False).alias("is_valid"),
+    ))
+    new_extracted.write.mode("append").format(store.fmt) \
+        .partitionBy("is_valid").save(store.table_path("extracted"))
+    counts = store.read_json("extract_counts") or {"valid": 0, "bad": 0}
+    store.write_json({"valid": counts["valid"] + int(n_new),
+                      "bad": counts["bad"] + int(n_new_bad)}, "extract_counts")
     for stage, df in [
-        ("docs", new_docs),
         ("signatures", new_sigs),
         ("buckets", new_buckets),
-        ("quarantine", bad.select("url", "warc_ts", "error_code")),
         ("pairs_scored", scored_new),
         ("similarity", scored_new.filter(F.col("jaccard") >= cfg.threshold)
                                  .select("src", "dst", "jaccard", "sig_jaccard", "hamming")),
@@ -129,7 +141,7 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     # global re-resolution of components over the (small) edge table
     edges = store.read(spark, "pairs_scored") \
         .filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
-    docs_all = store.read(spark, "docs")
+    docs_all = fd.docs()
     asg = connected_components(edges, vertices=docs_all.select("doc_id"))
     store.write(asg, "assignments", fd._chash)
     info = asg.groupBy("component_id").agg(F.count("*").alias("count"))

@@ -49,7 +49,7 @@ def test_partial_restart_resumes_midway(spark, small_pages, tmp_path):
         shutil.rmtree(os.path.join(work, s), ignore_errors=True)
     out2 = fd.run(small_pages)
     after = _mtimes(work)
-    for s in ("docs", "quarantine", "doc_stats", "signatures", "buckets"):
+    for s in ("extracted", "doc_stats", "signatures", "buckets"):
         assert before[s] == after[s], f"completed stage {s} recomputed"
     for s in ("candidates", "assignments"):
         assert after[s] > before[s]
@@ -81,7 +81,7 @@ def test_marker_lineage_counts(spark, small_pages, tmp_path):
     work = str(tmp_path / "w5")
     fd = FastdupSpark(spark, work)
     fd.run(small_pages)
-    m = fd.store.read_marker("docs")
+    m = fd.store.read_marker("extracted")
     assert m["rows"] == sum(f["rows"] for f in m["files"])
-    assert m["rows"] == fd.docs().count()
+    assert m["rows"] == fd.docs().count() + fd.quarantine().count()
     assert m["config_hash"] == fd.config.config_hash()
