@@ -64,6 +64,88 @@ def shingles_expr(tokens_col: Column, k: int) -> Column:
     )
 
 
+def token_hashes_expr(tokens_col: Column) -> Column:
+    """array<string> tokens -> array<bigint> per-token xxhash64 (JVM).
+
+    The fast signature path hashes TOKENS once on the JVM (streaming each
+    byte of text once) and composes k-gram shingle hashes numerically in
+    numpy — ~k x less string bandwidth than hashing every k-gram concat."""
+    return F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+
+def shingle_combine_params(k: int, seed: int) -> np.ndarray:
+    """Fixed odd positional constants c_j for the rolling k-gram combiner."""
+    rng = np.random.Generator(np.random.PCG64(seed ^ (k * 0x9E3779B9)))
+    return rng.integers(1, 1 << 63, size=k, dtype=np.uint64) | np.uint64(1)
+
+
+def combine_shingles_numpy(token_hashes: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ONE doc: token xxhash64s -> DISTINCT k-gram shingle hashes.
+
+    shingle[i] = sum_j c_j * th[i+j]  (uint64 wraparound) — position-weighted,
+    so order matters like string concat; docs shorter than k tokens yield a
+    single whole-doc shingle (same shape as shingles_expr/_shingle_set)."""
+    k = c.shape[0]
+    th = np.asarray(token_hashes, dtype=np.int64).astype(np.uint64)
+    n = th.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < k:
+        return np.unique((c[:n] * th).sum(dtype=np.uint64).reshape(1).view(np.int64))
+    m = n - k + 1
+    s = np.zeros(m, dtype=np.uint64)
+    for j in range(k):          # k cache-resident passes over a small array
+        s += c[j] * th[j:j + m]
+    return np.unique(s.view(np.int64))
+
+
+def make_signature_udf(k: int, n_perm: int, seed: int):
+    """The fast path: ONE scalar-iter pandas UDF
+    array<bigint> token hashes -> struct(shingles, minhash, simhash).
+
+    One Arrow transfer, one numpy pass; all buffers cache-sized and reused."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StructField, StructType
+
+    a, b = minhash_params(n_perm, seed)
+    c = shingle_combine_params(k, seed)
+    schema = StructType([
+        StructField("shingles", ArrayType(LongType()), False),
+        StructField("minhash", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+    ])
+
+    @pandas_udf(schema)
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        scratch = np.empty((n_perm, _MINHASH_CHUNK_SHINGLES), dtype=np.uint64)
+        for batch in it:
+            shingle_lists = [combine_shingles_numpy(th, c) for th in batch.to_numpy()]
+            mins = minhash_batch(shingle_lists, a, b, scratch=scratch)
+            sims = simhash_batch(shingle_lists)
+            yield pd.DataFrame({
+                "shingles": shingle_lists,
+                "minhash": mins,
+                "simhash": pd.Series(sims, dtype=np.int64),
+            })
+
+    return _sig
+
+
+def with_signatures(df, cfg, text_col: str = "text"):
+    """Attach (shingles, minhash, simhash, n_shingles) columns — the shared
+    signature computation used by the pipeline, search() and incremental."""
+    th = token_hashes_expr(normalize_tokens_expr(F.col(text_col)))
+    sig_udf = make_signature_udf(cfg.shingle_k, cfg.n_perm, cfg.minhash_seed)
+    return (
+        df.withColumn("_sig", sig_udf(th))
+        .withColumn("shingles", F.col("_sig.shingles"))
+        .withColumn("minhash", F.col("_sig.minhash"))
+        .withColumn("simhash", F.col("_sig.simhash"))
+        .withColumn("n_shingles", F.size("shingles"))
+        .drop("_sig")
+    )
+
+
 def minhash_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Fixed (a, b) permutation constants — pure function of (n_perm, seed)."""
     rng = np.random.Generator(np.random.PCG64(seed))

@@ -24,9 +24,7 @@ from pyspark.sql import functions as F
 from fastdup_spark.config import PipelineConfig
 from fastdup_spark.functions.extract import split_extracted
 from fastdup_spark.functions.lcs import lcs_confirm
-from fastdup_spark.functions.signatures import (
-    make_minhash_udf, make_simhash_udf, normalize_tokens_expr, shingles_expr,
-)
+from fastdup_spark.functions.signatures import with_signatures
 from fastdup_spark.functions.similarity import (
     exact_jaccard_expr, hamming_expr, sig_jaccard_expr,
 )
@@ -54,14 +52,9 @@ def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
     (>= threshold), assignments.
     """
     cfg = cfg or PipelineConfig()
-    minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
-    sigs = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("tokens", normalize_tokens_expr(F.col("text")))
-        .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
-        .withColumn("minhash", minhash_udf(F.col("shingles")))
-        .select("doc_id", "minhash", "shingles")
-    )
+    sigs = with_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), cfg
+    ).select("doc_id", "minhash", "shingles")
     buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
     stats = bucket_stats(buckets)
     salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
@@ -137,17 +130,8 @@ class FastdupSpark:
 
         # --- stage 3: signatures (ref: atrain_features.dat) ---
         if not done("signatures"):
-            minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
-            simhash_udf = make_simhash_udf()
-            sigs = (
-                docs
-                .withColumn("tokens", normalize_tokens_expr(F.col("text")))
-                .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
-                .withColumn("minhash", minhash_udf(F.col("shingles")))
-                .withColumn("simhash", simhash_udf(F.col("shingles")))
-                .select("doc_id", "minhash", "simhash", "shingles",
-                        F.size("shingles").alias("n_shingles"))
-            )
+            sigs = with_signatures(docs, cfg).select(
+                "doc_id", "minhash", "simhash", "shingles", "n_shingles")
             self.store.write(sigs, "signatures", self._chash)
         sigs = self.store.read(self.spark, "signatures")
 
@@ -441,13 +425,8 @@ class FastdupSpark:
         """
         cfg = self.config
         q = self.spark.createDataFrame([(query_text,)], "text string")
-        minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
-        qsig = (
-            q.withColumn("tokens", normalize_tokens_expr(F.col("text")))
-             .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
-             .withColumn("minhash", minhash_udf(F.col("shingles")))
-             .select(F.lit(-1).cast("bigint").alias("doc_id"), "minhash", "shingles")
-        )
+        qsig = with_signatures(q, cfg).select(
+            F.lit(-1).cast("bigint").alias("doc_id"), "minhash", "shingles")
         qb = band_buckets(qsig, cfg.lsh_bands, cfg.lsh_rows).select("band_id", "bucket")
         buckets = self.store.read(self.spark, "buckets")
         cand_ids = (

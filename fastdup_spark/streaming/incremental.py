@@ -24,9 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastdup_spark.functions.extract import split_extracted
-from fastdup_spark.functions.signatures import (
-    make_minhash_udf, make_simhash_udf, normalize_tokens_expr, shingles_expr,
-)
+from fastdup_spark.functions.signatures import with_signatures
 from fastdup_spark.functions.similarity import exact_jaccard_expr, hamming_expr, sig_jaccard_expr
 from fastdup_spark.operators.cc import connected_components
 from fastdup_spark.operators.lsh import band_buckets
@@ -62,18 +60,9 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     new_docs = new_docs.localCheckpoint(eager=True)
     n_new_bad = bad.count()
 
-    minhash_udf = make_minhash_udf(cfg.n_perm, cfg.minhash_seed)
-    simhash_udf = make_simhash_udf()
-    new_sigs = (
-        new_docs
-        .withColumn("tokens", normalize_tokens_expr(F.col("text")))
-        .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
-        .withColumn("minhash", minhash_udf(F.col("shingles")))
-        .withColumn("simhash", simhash_udf(F.col("shingles")))
-        .select("doc_id", "minhash", "simhash", "shingles",
-                F.size("shingles").alias("n_shingles"))
-        .localCheckpoint(eager=True)
-    )
+    new_sigs = with_signatures(new_docs, cfg).select(
+        "doc_id", "minhash", "simhash", "shingles", "n_shingles"
+    ).localCheckpoint(eager=True)
     new_buckets = band_buckets(new_sigs, cfg.lsh_bands, cfg.lsh_rows) \
         .withColumn("salt", F.lit(0))
 

@@ -99,3 +99,56 @@ def test_simhash_numpy_deterministic():
     sh = np.array([1, 2, 3, -5, 1 << 40], dtype=np.int64)
     assert simhash_numpy(sh) == simhash_numpy(sh.copy())
     assert simhash_numpy(np.array([], dtype=np.int64)) == 0
+
+
+# ---------------------------------------------------------------- fast path
+
+def _fast_df(spark, texts, repartition=None):
+    from fastdup_spark.functions.signatures import with_signatures
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    if repartition:
+        df = df.repartition(repartition)
+    return with_signatures(df, CFG)
+
+
+def test_fast_path_partitioning_invariance(spark, data):
+    texts = [t for t in data.pages["text"].head(50) if t]
+    a = {r["doc_id"]: (r["minhash"], r["simhash"], sorted(r["shingles"]))
+         for r in _fast_df(spark, texts, 1).select("doc_id", "minhash", "simhash", "shingles").collect()}
+    b = {r["doc_id"]: (r["minhash"], r["simhash"], sorted(r["shingles"]))
+         for r in _fast_df(spark, texts, 8).select("doc_id", "minhash", "simhash", "shingles").collect()}
+    assert a == b
+
+
+def test_fast_shingles_match_driver_numpy(spark, data):
+    """Spark fast-path shingles == driver-side rolling combine over the same
+    JVM token hashes."""
+    from fastdup_spark.functions.signatures import (
+        combine_shingles_numpy, normalize_tokens_expr, shingle_combine_params,
+        token_hashes_expr,
+    )
+    texts = [t for t in data.pages["text"].head(10) if t]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    th_rows = {r["doc_id"]: r["th"] for r in df.select(
+        "doc_id", token_hashes_expr(normalize_tokens_expr(F.col("text"))).alias("th")).collect()}
+    c = shingle_combine_params(CFG.shingle_k, CFG.minhash_seed)
+    got = {r["doc_id"]: sorted(r["shingles"]) for r in
+           _fast_df(spark, texts).select("doc_id", "shingles").collect()}
+    for i, th in th_rows.items():
+        expect = sorted(combine_shingles_numpy(np.asarray(th, dtype=np.int64), c).tolist())
+        assert got[i] == expect
+
+
+def test_fast_path_jaccard_vs_truth(spark, data):
+    """Fast-path shingle Jaccard tracks the generator's true token-tuple
+    Jaccard for planted near-dups (hash collisions negligible)."""
+    tp = data.truth_pairs
+    near = tp[tp.kind == "near"].head(10)
+    texts = dict(zip(data.pages["url"], data.pages["text"]))
+    urls = sorted(set(near["src_url"]) | set(near["dst_url"]))
+    sh = {urls[r["doc_id"]]: set(r["shingles"]) for r in
+          _fast_df(spark, [texts[u] for u in urls]).select("doc_id", "shingles").collect()}
+    for _, row in near.iterrows():
+        a, b = sh[row.src_url], sh[row.dst_url]
+        j = len(a & b) / len(a | b)
+        assert abs(j - row.true_jaccard) < 0.02, (j, row.true_jaccard)
