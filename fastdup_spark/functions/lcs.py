@@ -18,9 +18,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
-)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def lcs_length(s: str, t: str) -> int:

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fastdup_spark.config import PipelineConfig
-from fastdup_spark.functions.extract import split_extracted
 from fastdup_spark.functions.lcs import lcs_confirm
 from fastdup_spark.functions.signatures import with_signatures
 from fastdup_spark.functions.similarity import (
