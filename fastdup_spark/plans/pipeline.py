@@ -77,10 +77,13 @@ class FastdupSpark:
     """create(work_dir) -> run(pages) -> query results (fastdup v1 API shape)."""
 
     def __init__(self, spark: SparkSession, work_dir: str,
-                 config: PipelineConfig | None = None) -> None:
+                 config: PipelineConfig | None = None,
+                 store_format: str = "parquet") -> None:
         self.spark = spark
         self.config = config or PipelineConfig()
-        self.store = StageStore(work_dir)
+        # store_format="iceberg" on deployments with the Iceberg runtime;
+        # the stage-store interface is format-agnostic (plans/store.py)
+        self.store = StageStore(work_dir, fmt=store_format)
         self._chash = self.config.config_hash()
 
     # ------------------------------------------------------------------ run
@@ -370,10 +373,24 @@ class FastdupSpark:
         from fastdup_spark.streaming.incremental import incremental_update
         return incremental_update(self, new_pages)
 
+    def pagerank(self) -> DataFrame:
+        """≈ the pagerank/delta columns of connected_components.csv (A15,
+        run_pagerank toggle): per-doc rank over the similarity graph."""
+        from fastdup_spark.operators.pagerank import pagerank as _pr
+        edges = self.store.read(self.spark, "similarity").select("src", "dst")
+        return _pr(edges, vertices=self.docs().select("doc_id"))
+
+    def report(self, num_items: int = 20) -> str:
+        """≈ the five galleries rendered post-run (markdown, not HTML)."""
+        from fastdup_spark.plans.report import full_report
+        return full_report(self, num_items)
+
     # ---------------------------------------------------------- annotations
-    def set_annotations(self, annot: DataFrame, on: str = "url") -> None:
+    def set_annotations(self, annot: DataFrame | str, on: str = "url") -> None:
         """≈ run(annotations=...): persist a user annotation table keyed by
-        url (ref fastdup_controller.py:560-586)."""
+        url (ref fastdup_controller.py:560-586 accepts df / CSV path)."""
+        if isinstance(annot, str):
+            annot = self.spark.read.option("header", True).csv(annot)
         if on not in annot.columns:
             raise ValueError(f"annotation DataFrame needs a '{on}' column")
         self.store.write(annot, "annotations", self._chash)
