@@ -92,6 +92,35 @@ def top_k_label(pairs_with_labels: DataFrame, min_count: int = 1,
     )
 
 
+def slice_by_label(df: DataFrame, value: str, label_col: str = "label") -> DataFrame:
+    """F6 label slice: equality with substring fallback (galleries.py:118-161).
+
+    Works on scalar label columns and on list-of-label columns (post group-by)."""
+    dt = dict(df.dtypes).get(label_col, "string")
+    if dt.startswith("array"):
+        exact = F.array_contains(F.col(label_col), value)
+        fuzzy = F.exists(F.col(label_col), lambda x: F.lower(x).contains(value.lower()))
+    else:
+        exact = F.col(label_col) == value
+        fuzzy = F.lower(F.col(label_col)).contains(value.lower())
+    matched = df.filter(exact)
+    return matched if not matched.isEmpty() else df.filter(fuzzy)
+
+
+def slice_components_by_keyword(grouped: DataFrame, keyword: str,
+                                labels_col: str = "labels") -> DataFrame:
+    """F8 keyword filter: keep components where ANY member label contains the
+    keyword (galleries.py:1283-1287)."""
+    return grouped.filter(
+        F.exists(F.col(labels_col), lambda x: F.lower(x).contains(keyword.lower())))
+
+
+def mixed_label_components(grouped: DataFrame, labels_col: str = "labels") -> DataFrame:
+    """F7 component variant: clusters spanning more than one label — likely
+    labeling errors (galleries.py:1182-1186)."""
+    return grouped.filter(F.size(F.array_distinct(F.col(labels_col))) > 1)
+
+
 def classification_report(pred: DataFrame, label_col: str = "label",
                           pred_col: str = "prediction") -> DataFrame:
     """A13: precision/recall/F1/support per class, pure DataFrame aggregation."""
