@@ -62,10 +62,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- dedup over documents -------------------------------------------------
 
+def _docs_with_planted_dups(spark, sf):
+    """documents ∪ mirrored copies of doc_id<500 (shifted ids) — gives the
+    exact-dup operators a non-vacuous group structure at every sf."""
+    d = _t(spark, sf, "documents")
+    mirror = d.filter(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return d.select("doc_id", "text").unionByName(mirror)
+
+
 def q_exact_dup_groups(spark, sf):
     """Exact dedup by content hash (hash-groupBy; degenerate similarity-1.0
     clusters — SURVEY §2.4 A9 analog)."""
-    d = _t(spark, sf, "documents")
+    d = _docs_with_planted_dups(spark, sf)
     return (
         d.groupBy(F.md5("text").alias("group_key"))
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("keeper"))
@@ -83,7 +92,7 @@ def q_exact_dup_histogram(spark, sf):
 
 def q_exact_dup_drop_list(spark, sf):
     """W4 keep-first policy: non-survivors of exact-dup groups."""
-    d = _t(spark, sf, "documents").select("doc_id", F.md5("text").alias("gk"))
+    d = _docs_with_planted_dups(spark, sf).select("doc_id", F.md5("text").alias("gk"))
     w = Window.partitionBy("gk")
     wr = Window.partitionBy("gk").orderBy("doc_id")
     return (
@@ -500,23 +509,38 @@ def oracle_sql() -> dict[str, str]:
     ltok = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
     return {
         "exact_dup_groups": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 500
+            )
             SELECT md5(text) AS group_key, count(*) AS group_size,
                    min(doc_id) AS keeper
-            FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+            FROM docs GROUP BY md5(text) HAVING count(*) >= 2
         """,
         "exact_dup_histogram": """
-            WITH g AS (
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 500
+            ),
+            g AS (
               SELECT md5(text) AS gk, count(*) AS group_size
-              FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+              FROM docs GROUP BY md5(text) HAVING count(*) >= 2
             )
             SELECT group_size, count(*) AS n_groups FROM g GROUP BY group_size
         """,
         "exact_dup_drop_list": """
-            WITH d AS (
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 500
+            ),
+            d AS (
               SELECT doc_id, md5(text) AS gk,
                      count(*) OVER (PARTITION BY md5(text)) AS sz,
                      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-              FROM documents
+              FROM docs
             )
             SELECT doc_id FROM d WHERE sz >= 2 AND rn > 1
         """,
