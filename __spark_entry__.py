@@ -435,6 +435,23 @@ def q_simhash_fingerprints(spark, sf):
     )
 
 
+def q_simhash_near_dup(spark, sf):
+    """SimHash banding dedup (Manku et al. WWW'07): block equi-join +
+    hamming verify + CC over documents."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.functions.signatures import with_signatures
+    from fastdup_spark.operators.simhash_dedup import simhash_near_dup
+
+    d = _t(spark, sf, "documents")
+    sigs = with_signatures(d, PipelineConfig()).select("doc_id", "simhash")
+    res = simhash_near_dup(sigs, max_hamming=3, bands=4)
+    return (
+        res["assignments"].groupBy("component_id")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= 2)
+    )
+
+
 def q_ann_cosine_lsh(spark, sf):
     """Hyperplane-LSH bucketed ANN probe (scale path; brute force is the
     SQL-checked baseline q_cosine_to_query)."""
@@ -499,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "kmeans_assignments": q_kmeans_assignments,
     }

@@ -15,6 +15,8 @@ from fastdup_spark.operators.lsh import (
     band_buckets, bucket_stats, candidate_pairs, lsh_candidates, salt_buckets,
 )
 from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
+from fastdup_spark.operators.pagerank import pagerank
+from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
 from fastdup_spark.operators.stats import doc_stats, summary_stats
 from fastdup_spark.operators.textql import (
     content_fingerprint_expr, lang_id_expr, quality_score_expr,
@@ -30,6 +32,7 @@ __all__ = [
     "expand_with_annotations", "label_score", "top_k_label",
     "band_buckets", "bucket_stats", "candidate_pairs", "lsh_candidates",
     "salt_buckets", "best_neighbor", "outliers_by_percentile",
+    "pagerank", "simhash_blocks", "simhash_near_dup",
     "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
     "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",
     "winnow_fingerprints_expr",

@@ -1,0 +1,46 @@
+"""SimHash banding dedup: pigeonhole completeness + e2e on the corpus."""
+
+from pyspark.sql import functions as F
+
+from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
+
+
+def test_pigeonhole_completeness(spark):
+    """Every pair within hamming 3 MUST be found (exact guarantee, not LSH
+    probability): exhaustive check on crafted fingerprints."""
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    # flip 1..3 bits -> within distance 3 of base
+    rows.append((1, base ^ 0x1))
+    rows.append((2, base ^ (1 << 20) ^ (1 << 40)))
+    rows.append((3, base ^ (1 << 5) ^ (1 << 25) ^ (1 << 63)))
+    # far away (distance >> 3)
+    rows.append((9, base ^ 0xFFFF0000FFFF))
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    df = spark.createDataFrame([(i, to_i64(v)) for i, v in rows], "doc_id long, simhash long")
+    res = simhash_near_dup(df, max_hamming=3, bands=4)
+    edges = {(r["src"], r["dst"]) for r in res["edges"].collect()}
+    for other in (1, 2, 3):
+        assert (0, other) in edges, f"missed pair (0,{other})"
+    assert not any(9 in e for e in edges)
+
+
+def test_blocks_shape(spark):
+    df = spark.createDataFrame([(1, 12345)], "doc_id long, simhash long")
+    b = simhash_blocks(df, bands=4).collect()
+    assert len(b) == 4
+    assert {r["band_id"] for r in b} == {0, 1, 2, 3}
+    assert all(0 <= r["block"] < (1 << 16) for r in b)
+
+
+def test_simhash_dedup_finds_exact_dups(fd, url_of, data):
+    """Exact duplicates have identical fingerprints -> hamming 0 -> clustered."""
+    sigs = fd.store.read(fd.spark, "signatures").select("doc_id", "simhash")
+    res = simhash_near_dup(sigs, max_hamming=3, bands=4)
+    asg = {r["doc_id"]: r["component_id"] for r in res["assignments"].collect()}
+    _, url2id = url_of
+    tp = data.truth_pairs
+    exact = tp[tp.kind == "exact"]
+    hit = sum(asg[url2id[r.src_url]] == asg[url2id[r.dst_url]] for _, r in exact.iterrows())
+    assert hit / len(exact) >= 0.99
