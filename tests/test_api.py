@@ -87,3 +87,23 @@ def test_quarantine_table(fd, data):
     n_bad = (data.pages["text"] == "").sum()
     assert q.count() == n_bad
     assert {"url", "warc_ts", "error_code"} <= set(q.columns)
+
+
+def test_export_csv(fd, tmp_path):
+    out = str(tmp_path / "sim_csv")
+    fd.export("similarity", out, fmt="csv")
+    import glob
+    files = glob.glob(out + "/*.csv")
+    assert files
+    header = open(files[0]).readline().strip().split(",")
+    assert {"src", "dst", "jaccard"} <= set(header)
+
+
+def test_cosine_topk_bruteforce(spark):
+    from fastdup_spark.operators.knn import cosine_topk_bruteforce
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    top = cosine_topk_bruteforce(e, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == 1.0
