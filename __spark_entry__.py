@@ -9,7 +9,11 @@ checks per the contract).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fastdup_spark pkg
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
