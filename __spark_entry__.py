@@ -110,17 +110,25 @@ def q_exact_dup_drop_list(spark, sf):
 def q_ngram_jaccard_pairs(spark, sf):
     """Exact word-3-gram Jaccard between small-id docs, expressed the
     scalable way: explode distinct grams -> equi-join -> count (the SQL-
-    checkable analog of the shingle verify stage)."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    checkable analog of the shingle verify stage). Mirrored copies of
+    doc_id<10 are planted (ids +1000) so the pair set is non-vacuous at
+    every sf; docs with <3 tokens get an empty gram set (ANSI-safe — a
+    descending F.sequence would crash element_at)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select("doc_id", "text")
+    mirror = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    d = d.unionByName(mirror)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     grams = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at("w", i),
-                                  F.element_at("w", i + 1),
-                                  F.element_at("w", i + 2)),
-        ))).alias("g"),
+        F.explode(F.array_distinct(
+            F.when(F.size("w") < 3, F.array().cast("array<string>"))
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("w", i),
+                                      F.element_at("w", i + 1),
+                                      F.element_at("w", i + 2)),
+            )))).alias("g"),
     ).filter(F.col("g") != "")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -204,16 +212,15 @@ def q_doc_stats_agg(spark, sf):
 
 def q_length_quantile_filter(spark, sf):
     """F11 quantile band delete-filter: docs above the 95th length percentile
-    (rank-based, deterministic in both engines)."""
-    d = _t(spark, sf, "documents")
+    (rank-based, deterministic in both engines). Two-phase plan: approx-
+    percentile prune, exact rank on the ~5% survivors — no unpartitioned
+    window over the full table."""
+    from fastdup_spark.operators.outliers import exact_rank_head
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
     n = d.count()
-    k = int(n * 0.05)
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("doc_id", "n_chars")
-    )
+    return exact_rank_head(d, int(n * 0.05), n, "n_chars", "doc_id",
+                           ascending=False).select("doc_id", "n_chars")
 
 
 def q_explode_words(spark, sf):
@@ -253,8 +260,9 @@ def q_cosine_to_query(spark, sf):
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding").cast("array<double>"), F.col("qv")), 3)
-            .alias("cosine"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0 so both engines hash alike
+            (F.round(cosine_expr(F.col("embedding").cast("array<double>"),
+                                 F.col("qv")), 3) + F.lit(0.0)).alias("cosine"),
         )
     )
 
@@ -311,9 +319,12 @@ def q_top2_orders_per_customer(spark, sf):
 
 
 def q_customers_without_orders(spark, sf):
-    """J7 anti-join (the 'how=all' outlier filter shape)."""
+    """J7 anti-join (the 'how=all' outlier filter shape): customers with no
+    high-value order. The price filter is pushed below the anti-join and
+    keeps the slice non-vacuous at every sf (every custkey has SOME order
+    in this testdata, so the unfiltered anti-join proves nothing)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -347,16 +358,16 @@ def q_events_high_water(spark, sf):
 
 
 def q_events_percentile_outliers(spark, sf):
-    """F3 outlier percentile cut: bottom 5% of events by value (rank-based)."""
-    e = _t(spark, sf, "events")
+    """F3 outlier percentile cut: bottom 5% of events by value (rank-based).
+    Two-phase plan (approx prune -> exact rank on survivors), same shape as
+    operators/outliers.py."""
+    from fastdup_spark.operators.outliers import exact_rank_head
+
+    e = _t(spark, sf, "events").select("event_id", "value")
     n = e.count()
-    k = int(n * 0.05)
-    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("event_id", F.round("value", 6).alias("value"))
-    )
+    out = exact_rank_head(e, int(n * 0.05), n, "value", "event_id",
+                          ascending=True)
+    return out.select("event_id", F.round("value", 6).alias("value"))
 
 
 def q_ntile_sampling(spark, sf):
@@ -567,8 +578,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM d WHERE sz >= 2 AND rn > 1
         """,
         "ngram_jaccard_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, {tok} AS w FROM documents WHERE doc_id < 60
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 10
+            ),
+            toks AS (
+              SELECT doc_id, {tok} AS w FROM docs
             ),
             idx AS (
               SELECT doc_id, w,
@@ -624,8 +640,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_stats_agg": """
+            -- cast: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   cast(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY lang, source
@@ -662,7 +679,7 @@ def oracle_sql() -> dict[str, str]:
                               x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
                         * sqrt(list_sum(list_transform(q.qv,
                               x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))),
-                   3) AS cosine
+                   3) + 0.0 AS cosine
             FROM embeddings e, q WHERE e.vec_id <> 0
         """,
         "embedding_label_counts": """
@@ -697,7 +714,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
         "suppliers_with_shipments": """
             SELECT s_suppkey, s_name FROM supplier
@@ -789,7 +807,8 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_custkey < 300
               GROUP BY o_custkey, o_orderpriority
             ),
-            totals AS (SELECT src, sum(cnt) AS total FROM counts GROUP BY src),
+            totals AS (SELECT src, cast(sum(cnt) AS BIGINT) AS total
+                       FROM counts GROUP BY src),
             ranked AS (
               SELECT src, label2, cnt,
                      row_number() OVER (PARTITION BY src

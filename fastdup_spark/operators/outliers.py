@@ -44,6 +44,41 @@ def best_neighbor(all_docs: DataFrame, scored_pairs: DataFrame,
     )
 
 
+def exact_rank_head(df: DataFrame, k: int, n: int, sort_col: str,
+                    id_col: str, ascending: bool = True,
+                    margin: float = 1.5) -> DataFrame:
+    """Deterministic exact top/bottom-k by (sort_col, id_col) without a
+    global single-partition sort of all ``n`` rows.
+
+    Phase 1: a distributed approx-percentile cutoff prunes to ~margin*k
+    survivors; phase 2 runs the exact deterministic row_number rank on the
+    pruned set only. If the approximate cutoff under-prunes (skewed or
+    heavily-tied distributions can make percentile_approx land short of k
+    survivors), fall back to ranking the full table — the exact bottom-k
+    contract always wins over the shortcut.
+    """
+    if k <= 0:
+        return df.limit(0)
+    frac = min(1.0, (k / max(n, 1)) * margin)
+    q = frac if ascending else 1.0 - frac
+    cutoff = df.agg(
+        F.percentile_approx(sort_col, q, 10000).alias("c")).collect()[0]["c"]
+    if cutoff is None:
+        return df.limit(0)
+    pruned = df.filter(
+        F.col(sort_col) <= F.lit(cutoff) if ascending
+        else F.col(sort_col) >= F.lit(cutoff))
+    if pruned.count() < k:
+        pruned = df
+    w = Window.orderBy(
+        F.asc(sort_col) if ascending else F.desc(sort_col), F.asc(id_col))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def outliers_by_percentile(best_nn: DataFrame, pct: float,
                            n: int | None = None) -> DataFrame:
     """Bottom floor(pct*n) docs by (best_sim asc, doc_id asc) — deterministic.
@@ -53,19 +88,5 @@ def outliers_by_percentile(best_nn: DataFrame, pct: float,
     """
     if n is None:
         n = best_nn.count()
-    k = int(n * pct)
-    if k <= 0:
-        return best_nn.limit(0)
-    # Two-phase for scale: an approx-percentile cutoff (distributed, one pass)
-    # prunes to ~pct*n rows; the exact deterministic rank then runs on the
-    # small survivor set instead of a global sort of all n docs.
-    cutoff = best_nn.agg(
-        F.percentile_approx("best_sim", min(1.0, pct * 1.5), 10000).alias("c")
-    ).collect()[0]["c"]
-    pruned = best_nn.filter(F.col("best_sim") <= F.lit(cutoff))
-    w = Window.orderBy(F.asc("best_sim"), F.asc("doc_id"))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return exact_rank_head(best_nn, int(n * pct), n, "best_sim", "doc_id",
+                           ascending=True)

@@ -38,7 +38,7 @@ from fastdup_spark.operators.stats import summary_stats
 from fastdup_spark.plans.store import StageStore
 
 STAGES = ["extracted", "doc_stats", "signatures", "buckets",
-          "candidates", "pairs_scored", "similarity", "containment",
+          "candidates", "pairs_scored", "similarity", "knn", "containment",
           "assignments", "component_info", "outliers"]
 
 
@@ -54,9 +54,15 @@ def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
     sigs = with_signatures(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), cfg
     ).select("doc_id", "minhash", "shingles")
+    # sigs (the expensive pandas-UDF stage) feeds band_buckets AND two shingle
+    # joins; salted feeds bucket counters and the self-join. Without a
+    # checkpoint the UDF + band explode re-run 3-4x (the staged run() path
+    # materializes stage tables instead, so it never hits this).
+    sigs = sigs.localCheckpoint(eager=True)
     buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
     stats = bucket_stats(buckets)
     salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
+    salted = salted.localCheckpoint(eager=True)
     cands = candidate_pairs(salted)
     sh = sigs.select("doc_id", "shingles")
     pairs = (
@@ -191,12 +197,24 @@ class FastdupSpark:
             self.store.write(scored, "pairs_scored", self._chash)
         scored = self.store.read(self.spark, "pairs_scored")
 
-        # similarity table ≈ similarity.csv: edges >= threshold, sorted desc
+        # similarity table: ALL verified edges >= threshold (the >=0.99
+        # dup-pair recall contract is measured here, so no truncation)
         if not done("similarity"):
             sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
                         .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
             self.store.write(sim, "similarity", self._chash,
                              counters={"threshold": cfg.threshold})
+
+        # knn table ≈ the reference's similarity.csv contract: top
+        # nearest_neighbors_k=2 neighbors PER DOC, directed
+        # (/root/reference/fastdup/__init__.py:486,574 — W2). Bounds the
+        # reported table to <= k rows/doc even when a giant dup clique makes
+        # the full edge set quadratic in clique size.
+        if not done("knn"):
+            from fastdup_spark.operators.knn import knn_truncate
+            sim = self.store.read(self.spark, "similarity")
+            self.store.write(knn_truncate(sim, cfg.knn_k), "knn", self._chash,
+                             counters={"k": cfg.knn_k})
 
         # LCS containment confirm: sub-threshold candidates that may be
         # verbatim-containment duplicates (north_rule confirm stage)
@@ -286,6 +304,18 @@ class FastdupSpark:
                .join(cat.select(F.col("doc_id").alias("dst"),
                                 F.col("url").alias("url_to")), "dst")
                .orderBy(F.desc("jaccard"), "src", "dst")
+        )
+
+    def knn(self) -> DataFrame:
+        """≈ similarity.csv at nearest_neighbors_k: top-k neighbors per doc,
+        url-resolved, rank ascending (W2 — ref __init__.py:486,574)."""
+        cat = self.docs().select("doc_id", "url")
+        k = self.store.read(self.spark, "knn")
+        return (
+            k.join(cat, "doc_id")
+             .join(cat.select(F.col("doc_id").alias("nn"),
+                              F.col("url").alias("url_nn")), "nn")
+             .orderBy("doc_id", "rank")
         )
 
     def outliers(self) -> DataFrame:

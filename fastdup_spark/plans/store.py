@@ -90,6 +90,29 @@ class StageStore:
         os.replace(tmp, self.marker_path(stage))
         return marker
 
+    def refresh_marker(self, stage: str, config_hash: str,
+                       counters: dict | None = None) -> dict:
+        """Rebuild a stage marker from the table's parquet footers WITHOUT
+        rewriting the table — used after incremental appends so markers
+        (rows, per-file lineage) never go stale. Existing counters are kept
+        unless new ones are passed."""
+        if counters is None:
+            old = self.read_marker(stage)
+            counters = (old or {}).get("counters", {})
+        lineage = self._parquet_lineage(self.table_path(stage))
+        marker = {
+            "stage": stage,
+            "config_hash": config_hash,
+            "rows": int(sum(x["rows"] for x in lineage)),
+            "files": sorted(lineage, key=lambda x: x["file"]),
+            "counters": counters or {},
+        }
+        tmp = self.marker_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.marker_path(stage))
+        return marker
+
     @staticmethod
     def _parquet_lineage(path: str) -> list[dict]:
         import pyarrow.parquet as pq

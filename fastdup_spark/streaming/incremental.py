@@ -10,12 +10,23 @@ new WARC pages, keyed by a `warc_ts` high-water mark:
     index (so new docs pair with both old and new docs) — the same plan a
     Structured Streaming foreachBatch sink would run;
   * verify on the new pairs only (append to pairs_scored/similarity);
-  * connected components re-resolved globally over the edge table (edges are
-    tiny relative to the corpus; at 10^12-doc scale this global step is the
-    documented cost of exact cluster semantics under insertion).
+  * connected components / knn / outliers re-resolved globally over the edge
+    table (edges are tiny relative to the corpus; at 10^12-doc scale this
+    global step is the documented cost of exact cluster semantics under
+    insertion).
 
-This gives exactly-once semantics per batch via the stage-store markers: a
-batch id (the new high-water mark) stamps each appended increment.
+Crash-safety model (exactly-once per batch):
+  * `extracted` is appended LAST. Batch membership is decided by an anti-join
+    against `extracted`, so a crash after any earlier append makes the replay
+    reprocess the batch rather than skip it.
+  * every earlier append is independently idempotent: signatures/buckets/
+    doc_stats anti-join on doc_id, pairs_scored on candidate (src,dst), and
+    the similarity/containment increments are derived FROM the persisted
+    pairs_scored table anti-joined against their own tables — so a replay
+    repairs a partially-applied batch instead of losing rows.
+  * after the appends, stage markers are regenerated from the parquet
+    footers (rows + per-file lineage stay truthful) and run_manifest is
+    recomputed, keeping the marker contract in plans/store.py.
 """
 
 from __future__ import annotations
@@ -39,26 +50,35 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     """Ingest a new batch of pages into an existing FastdupSpark work_dir.
 
     Only rows with warc_ts strictly greater than the current high-water mark
-    are processed (idempotent re-delivery safe). Returns counters.
+    are processed. The mark is computed over ALL ingested rows (valid AND
+    quarantined) so redelivered bad rows can't be double-counted; per-stage
+    anti-joins make replays of partially-applied batches repair themselves
+    (see module docstring).
     """
     cfg = fd.config
     spark = fd.spark
     store = fd.store
 
-    docs_old = fd.docs()
-    hwm = high_water_mark(docs_old)
+    extracted_all = store.read(spark, "extracted")
+    hwm = high_water_mark(extracted_all)
     fresh = new_pages.filter(F.col("warc_ts") > F.lit(hwm)) if hwm else new_pages
 
     ok, bad = split_extracted(fresh, cfg.min_text_chars)
+    existing_ids = extracted_all.select("doc_id")
     new_docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
         "doc_id", "url", "warc_ts", "lang", "text")
-    # drop urls already ingested (idempotency on replays)
-    new_docs = new_docs.join(docs_old.select("doc_id"), "doc_id", "left_anti")
+    # batch membership = not yet in `extracted` (valid OR quarantined)
+    new_docs = new_docs.join(existing_ids, "doc_id", "left_anti")
+    new_bad = bad.select(
+        F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "lang",
+        F.lit(None).cast("string").alias("text"),
+        "error_code", F.lit(False).alias("is_valid"),
+    ).join(existing_ids, "doc_id", "left_anti")
     n_new = new_docs.count()
-    if n_new == 0:
+    n_new_bad = new_bad.count()
+    if n_new == 0 and n_new_bad == 0:
         return {"new_docs": 0, "new_pairs": 0, "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
-    n_new_bad = bad.count()
 
     new_sigs = with_signatures(new_docs, cfg).select(
         "doc_id", "minhash", "simhash", "shingles", "n_shingles"
@@ -78,7 +98,7 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    # drop pairs already scored
+    # drop pairs already scored (idempotent on replays)
     old_scored = store.read(spark, "pairs_scored")
     cand = cand.join(old_scored.select("src", "dst"), ["src", "dst"], "left_anti")
 
@@ -104,37 +124,106 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     )
     n_pairs = scored_new.count()
 
-    # append increments to the stage tables
+    def _append(df: DataFrame, stage: str, partition_by: list[str] | None = None):
+        w = df.write.mode("append").format(store.fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(store.table_path(stage))
+
+    # --- idempotent appends, `extracted` last (crash-repair ordering) ---
+    _append(new_sigs.join(store.read(spark, "signatures").select("doc_id"),
+                          "doc_id", "left_anti"), "signatures")
+    _append(new_buckets.join(old_buckets.select("doc_id").distinct(),
+                             "doc_id", "left_anti"), "buckets")
+    from fastdup_spark.operators.stats import doc_stats as doc_stats_op
+    new_stats = doc_stats_op(new_docs.select("doc_id", "text"), id_col="doc_id")
+    _append(new_stats.join(store.read(spark, "doc_stats").select("doc_id"),
+                           "doc_id", "left_anti"), "doc_stats")
+    _append(scored_new, "pairs_scored")
+
+    # similarity/containment increments derive from the PERSISTED pairs table
+    # anti-joined against themselves — repairs rows a prior crash dropped
+    scored_all = store.read(spark, "pairs_scored")
+    sim_new = (
+        scored_all.filter(F.col("jaccard") >= cfg.threshold)
+        .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
+        .join(store.read(spark, "similarity").select("src", "dst"),
+              ["src", "dst"], "left_anti")
+    )
+    _append(sim_new, "similarity")
+    if cfg.lcs_enabled:
+        from fastdup_spark.functions.lcs import lcs_confirm
+        texts = fd.docs().select("doc_id", "text").unionByName(
+            new_docs.select("doc_id", "text"))
+        # LCS only on sub-threshold pairs touching UNCOMMITTED docs (in
+        # signatures but not yet in extracted — this batch plus any earlier
+        # crashed batch), not the full historical pair table
+        uncommitted = store.read(spark, "signatures").select("doc_id") \
+            .join(existing_ids, "doc_id", "left_anti")
+        sub_all = scored_all.filter(F.col("jaccard") < cfg.threshold) \
+            .select("src", "dst")
+        sub = (
+            sub_all.join(uncommitted.withColumnRenamed("doc_id", "src"),
+                         "src", "left_semi")
+            .unionByName(sub_all.join(
+                uncommitted.withColumnRenamed("doc_id", "dst"),
+                "dst", "left_semi").select("src", "dst"))
+            .dropDuplicates(["src", "dst"])
+            .join(store.read(spark, "containment").select("src", "dst"),
+                  ["src", "dst"], "left_anti")
+        )
+        pt = (
+            sub.join(texts.select(F.col("doc_id").alias("src"),
+                                  F.col("text").alias("text_a")), "src")
+               .join(texts.select(F.col("doc_id").alias("dst"),
+                                  F.col("text").alias("text_b")), "dst")
+        )
+        lcs_new = lcs_confirm(pt, cfg.lcs_cap_chars).filter(
+            F.col("lcs_len") >= cfg.lcs_min_len)
+        _append(lcs_new, "containment")
+
     new_extracted = new_docs.select(
         "doc_id", "url", "warc_ts", "lang", "text",
         F.lit("").alias("error_code"), F.lit(True).alias("is_valid"),
-    ).unionByName(bad.select(
-        F.xxhash64("url").alias("doc_id"), "url", "warc_ts", "lang",
-        F.lit(None).cast("string").alias("text"),
-        "error_code", F.lit(False).alias("is_valid"),
-    ))
-    new_extracted.write.mode("append").format(store.fmt) \
-        .partitionBy("is_valid").save(store.table_path("extracted"))
-    counts = store.read_json("extract_counts") or {"valid": 0, "bad": 0}
-    store.write_json({"valid": counts["valid"] + int(n_new),
-                      "bad": counts["bad"] + int(n_new_bad)}, "extract_counts")
-    for stage, df in [
-        ("signatures", new_sigs),
-        ("buckets", new_buckets),
-        ("pairs_scored", scored_new),
-        ("similarity", scored_new.filter(F.col("jaccard") >= cfg.threshold)
-                                 .select("src", "dst", "jaccard", "sig_jaccard", "hamming")),
-    ]:
-        df.write.mode("append").format(store.fmt).save(store.table_path(stage))
+    ).unionByName(new_bad)
+    _append(new_extracted, "extracted", partition_by=["is_valid"])
 
-    # global re-resolution of components over the (small) edge table
-    edges = store.read(spark, "pairs_scored") \
-        .filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+    counts = store.read_json("extract_counts") or {"valid": 0, "bad": 0}
+    counts = {"valid": counts["valid"] + int(n_new),
+              "bad": counts["bad"] + int(n_new_bad)}
+    store.write_json(counts, "extract_counts")
+
+    # markers regenerated from footers so rows/lineage stay truthful
+    for stage in ("extracted", "doc_stats", "signatures", "buckets",
+                  "pairs_scored", "similarity", "containment"):
+        store.refresh_marker(stage, fd._chash)
+
+    # --- global re-resolution over the (small) edge/graph tables ---
+    from fastdup_spark.operators.knn import knn_truncate
+    store.write(knn_truncate(store.read(spark, "similarity"), cfg.knn_k),
+                "knn", fd._chash, counters={"k": cfg.knn_k})
+    edges = scored_all.filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     docs_all = fd.docs()
     asg = connected_components(edges, vertices=docs_all.select("doc_id"))
     store.write(asg, "assignments", fd._chash)
     info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
     store.write(info, "component_info", fd._chash)
+    from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
+    bn = best_neighbor(docs_all, scored_all, sim_col="jaccard")
+    out = outliers_by_percentile(bn, cfg.outlier_pct, n=counts["valid"])
+    store.write(out, "outliers", fd._chash)
+
+    # refresh run_manifest so summary() reflects post-update state
+    from fastdup_spark.operators.stats import summary_stats
+    summ = summary_stats(
+        n_pages=counts["valid"] + counts["bad"], n_valid=counts["valid"],
+        n_quarantined=counts["bad"],
+        component_info=store.read(spark, "component_info"),
+        n_pairs=store.read_marker("similarity")["rows"],
+        n_outliers=store.read_marker("outliers")["rows"],
+    )
+    store.write_json({"config": cfg.to_dict(), "config_hash": fd._chash,
+                      "summary": summ}, "run_manifest")
 
     return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
-            "hwm": str(high_water_mark(docs_all))}
+            "hwm": str(high_water_mark(store.read(spark, "extracted")))}

@@ -107,3 +107,14 @@ def test_cosine_topk_bruteforce(spark):
     top = cosine_topk_bruteforce(e, [1.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in top] == [1, 2]
     assert top[0]["cosine"] == 1.0
+
+
+def test_knn_truncation_contract(fd):
+    """W2: the knn stage keeps <= nearest_neighbors_k rows per doc (reference
+    similarity.csv contract, /root/reference/fastdup/__init__.py:486,574)."""
+    kn = fd.knn()
+    assert {"doc_id", "nn", "sim", "rank", "url", "url_nn"} <= set(kn.columns)
+    per_doc = kn.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= fd.config.knn_k
+    ranks = kn.select("rank").distinct().collect()
+    assert all(1 <= r["rank"] <= fd.config.knn_k for r in ranks)
