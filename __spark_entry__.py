@@ -468,27 +468,42 @@ def q_simhash_near_dup(spark, sf):
 
 
 def q_ann_cosine_lsh(spark, sf):
-    """Hyperplane-LSH bucketed ANN probe (scale path; brute force is the
-    SQL-checked baseline q_cosine_to_query)."""
+    """Multi-band multiprobe hyperplane-LSH ANN top-k (scale path; brute
+    force is the SQL-checked baseline q_cosine_to_query). 8 bands x 5 planes
+    + 1-bit multiprobe: recall ~0.98 vs brute force on this near-isotropic
+    testdata (tests/test_ann.py). Sign-LSH candidate cost is n^rho
+    (rho=ln p1/ln p2 ~ 0.76 at cos 0.3), so n_planes should grow with
+    log2(n) at scale; this config is tuned for the driver's sf."""
     from fastdup_spark.operators.knn import cosine_topk_lsh, hyperplane_buckets
 
     e = _t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
-    bucketed = hyperplane_buckets(e.filter(F.col("vec_id") != 0), n_planes=8)
-    return cosine_topk_lsh(bucketed, qv, n_planes=8, k=10)
+    bucketed = hyperplane_buckets(e.filter(F.col("vec_id") != 0),
+                                  n_planes=5, n_bands=8)
+    return cosine_topk_lsh(bucketed, qv, n_planes=5, n_bands=8, k=10)
 
 
 def q_kmeans_assignments(spark, sf):
-    """A14 KMeans over embeddings (pyspark.ml)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """A14 KMeans full contract: per-item (vec_id, cluster, distance) —
+    kmeans_assignments.csv analog (/root/reference/fastdup/definitions.py:19).
+    Deterministic Lloyd's (init = 8 smallest vec_ids, 2 rounds) so DuckDB
+    replays the identical trajectory."""
+    from fastdup_spark.operators.kmeans import kmeans_fit
 
-    e = _t(spark, sf, "embeddings").withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>")))
-    model = KMeans(k=8, seed=42, maxIter=20).fit(e)
-    pred = model.transform(e)
-    return pred.groupBy(F.col("prediction").alias("cluster")).agg(
-        F.count("*").alias("n"))
+    e = _t(spark, sf, "embeddings")
+    return kmeans_fit(e, k=8, n_iter=2)["assignments"]
+
+
+def q_kmeans_centroid_stats(spark, sf):
+    """A14 KMeans centroid table analog (kmeans_centroids.csv,
+    definitions.py:17): per-cluster size + mean assignment distance."""
+    from fastdup_spark.operators.kmeans import kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    asg = kmeans_fit(e, k=8, n_iter=2)["assignments"]
+    return asg.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.round(F.avg("distance"), 4).alias("avg_dist"))
 
 
 # --------------------------------------------------------------------------
@@ -533,8 +548,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        # kmeans: deterministic Lloyd's -> fully oracle-checked (was rows-only)
         "kmeans_assignments": q_kmeans_assignments,
+        "kmeans_centroid_stats": q_kmeans_centroid_stats,
     }
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's in DuckDB SQL mirroring operators/kmeans.kmeans_fit:
+    init = k smallest vec_ids, argmin ties to lowest cluster, empty clusters
+    drop out, n_iter (assign, update) rounds then a final assign."""
+    assign = """
+        a{i} AS (
+          SELECT e.vec_id, c.cluster,
+                 list_sum(list_transform(list_zip(e.v, c.cv),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+          FROM ev e CROSS JOIN {cent} c
+        ),
+        asg{i} AS (
+          SELECT vec_id, cluster, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cluster) AS rn FROM a{i})
+          WHERE rn = 1
+        )"""
+    update = """
+        c{nxt} AS (
+          SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cluster, t.i AS pos, avg(e.v[t.i]) AS m
+            FROM asg{i} a JOIN ev e USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, {dim1})) AS i) t
+            GROUP BY a.cluster, t.i)
+          GROUP BY cluster
+        )"""
+    parts = [f"""
+        ev AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+          FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {k})
+        )"""]
+    for it in range(n_iter):
+        parts.append(assign.format(i=it, cent=f"c{it}"))
+        parts.append(update.format(i=it, nxt=it + 1, dim1=dim + 1))
+    parts.append(assign.format(i=n_iter, cent=f"c{n_iter}"))
+    return "WITH " + ",".join(parts) + f"""
+        SELECT vec_id, cluster, round(d, 4) AS distance FROM asg{n_iter}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -819,5 +879,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r.cnt >= 3 THEN r.label2 ELSE 'Unknown' END AS predicted,
                    r.cnt, t.total
             FROM ranked r JOIN totals t ON r.src = t.src WHERE r.rk = 1
+        """,
+        "kmeans_assignments": _kmeans_oracle_sql(),
+        "kmeans_centroid_stats": f"""
+            WITH base AS ({_kmeans_oracle_sql()})
+            SELECT cluster, count(*) AS size,
+                   round(avg(distance), 4) AS avg_dist
+            FROM base GROUP BY cluster
         """,
     }

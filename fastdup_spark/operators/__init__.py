@@ -5,8 +5,10 @@ from fastdup_spark.operators.dedup import (
 )
 from fastdup_spark.operators.knn import (
     best_nn_per_query, cosine_topk_bruteforce, cosine_topk_lsh,
+    query_probe_buckets,
     hyperplane_buckets, knn_truncate,
 )
+from fastdup_spark.operators.kmeans import kmeans_fit
 from fastdup_spark.operators.labels import (
     classification_report, diff_label_pairs, enrich_pairs_with_labels,
     expand_with_annotations, label_score, top_k_label,
@@ -14,7 +16,9 @@ from fastdup_spark.operators.labels import (
 from fastdup_spark.operators.lsh import (
     band_buckets, bucket_stats, candidate_pairs, lsh_candidates, salt_buckets,
 )
-from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
+from fastdup_spark.operators.outliers import (
+    best_neighbor, exact_rank_head, outliers_by_percentile,
+)
 from fastdup_spark.operators.pagerank import pagerank
 from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
 from fastdup_spark.operators.stats import doc_stats, summary_stats
@@ -27,11 +31,12 @@ __all__ = [
     "connected_components", "embedding_near_dup", "restrict_cross_set",
     "duplicates_to_drop", "exact_dup_groups", "keep_first_policy",
     "majority_label_policy", "best_nn_per_query", "cosine_topk_bruteforce",
-    "cosine_topk_lsh", "hyperplane_buckets", "knn_truncate",
+    "cosine_topk_lsh", "hyperplane_buckets", "knn_truncate", "query_probe_buckets",
     "classification_report", "diff_label_pairs", "enrich_pairs_with_labels",
     "expand_with_annotations", "label_score", "top_k_label",
+    "kmeans_fit",
     "band_buckets", "bucket_stats", "candidate_pairs", "lsh_candidates",
-    "salt_buckets", "best_neighbor", "outliers_by_percentile",
+    "salt_buckets", "best_neighbor", "exact_rank_head", "outliers_by_percentile",
     "pagerank", "simhash_blocks", "simhash_near_dup",
     "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
     "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",

@@ -32,24 +32,25 @@ def restrict_cross_set(pairs: DataFrame, tags: DataFrame,
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
-                       n_planes: int = 12, seed: int = 7,
+                       n_planes: int = 12, n_bands: int = 4, seed: int = 7,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        ) -> dict[str, DataFrame]:
     """Embedding-cosine near-dup: hyperplane-LSH bucket self-join -> cosine
     verify >= threshold -> connected components.
 
     Same plan shape as the MinHash pipeline: bucket (index) -> candidate
-    self-join (shuffle on bucket, AQE skew) -> verify -> CC. At scale, run
-    with several independent plane sets (bands) for recall; one set here.
+    self-join (shuffle on (band, bucket), AQE skew) -> verify -> CC.
+    ``n_bands`` independent plane sets multiply recall exactly like MinHash
+    banding: single-band collision prob p -> 1-(1-p)^B.
     """
-    b = hyperplane_buckets(embeddings, n_planes=n_planes, seed=seed,
-                           id_col=id_col, vec_col=vec_col)
-    left = b.select("bucket", F.col(id_col).alias("src"),
+    b = hyperplane_buckets(embeddings, n_planes=n_planes, n_bands=n_bands,
+                           seed=seed, id_col=id_col, vec_col=vec_col)
+    left = b.select("band", "bucket", F.col(id_col).alias("src"),
                     F.col(vec_col).alias("va"))
-    right = b.select("bucket", F.col(id_col).alias("dst"),
+    right = b.select("band", "bucket", F.col(id_col).alias("dst"),
                      F.col(vec_col).alias("vb"))
     pairs = (
-        left.join(right, "bucket")
+        left.join(right, ["band", "bucket"])
         .filter(F.col("src") < F.col("dst"))
         .withColumn("cosine", cosine_expr(F.col("va").cast("array<double>"),
                                           F.col("vb").cast("array<double>")))

@@ -65,49 +65,90 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query: list[float] | np.ndarra
     )
 
 
-def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 16, seed: int = 7,
+def _plane_sets(dim: int, n_planes: int, n_bands: int, seed: int) -> np.ndarray:
+    """(n_bands, dim, n_planes) independent hyperplane sets — one LSH band
+    each. Deterministic in (dim, n_planes, n_bands, seed) so index build and
+    query probes always agree."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bands, dim, n_planes))
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 16,
+                       n_bands: int = 4, seed: int = 7,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int | None = None) -> DataFrame:
-    """Random-hyperplane (sign) LSH bucket per vector — the IVF-style index.
+    """Random-hyperplane (sign) LSH index — one row per (vector, band).
 
-    Bucket = sign-bit pattern of dot products with ``n_planes`` fixed random
-    hyperplanes. Vectorized numpy inside a pandas UDF (Arrow batches).
+    Bucket = sign-bit pattern of dot products with that band's ``n_planes``
+    fixed hyperplanes. Multiple independent bands multiply recall the same
+    way MinHash banding does: a true neighbor missed by one band's cut is
+    caught by another (single-band recall p -> 1-(1-p)^B). Vectorized numpy
+    inside one pandas UDF (Arrow batches) computing all bands per pass.
+    Mirrors the tunable-recall knobs of the reference's HNSW index
+    (/root/reference/fastdup/__init__.py:292-297).
     """
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import ArrayType, LongType
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_planes))
+    planes = _plane_sets(dim, n_planes, n_bands, seed)
+    flat = planes.transpose(1, 0, 2).reshape(dim, n_bands * n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @pandas_udf(LongType())
-    def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
-            signs = (mat @ planes) > 0                      # (n, planes)
-            weights = (1 << np.arange(n_planes)).astype(np.int64)
-            yield pd.Series(signs @ weights, dtype=np.int64)
+            signs = (mat @ flat) > 0                       # (n, B*P)
+            per_band = signs.reshape(len(batch), n_bands, n_planes) @ weights
+            yield pd.Series(list(per_band))                # (n, B)
 
-    return embeddings.withColumn("bucket", _bucket(F.col(vec_col)))
+    return (
+        embeddings.withColumn("_b", _buckets(F.col(vec_col)))
+        .select("*", F.posexplode("_b").alias("band", "bucket"))
+        .drop("_b")
+    )
+
+
+def query_probe_buckets(query: list[float] | np.ndarray, n_planes: int = 16,
+                        n_bands: int = 4, seed: int = 7,
+                        radius: int = 1) -> list[tuple[int, int]]:
+    """(band, bucket) probe list for a query vector: the exact bucket per
+    band plus all buckets within ``radius`` sign-bit flips (multiprobe —
+    Lv et al., VLDB'07). radius=1 turns B probes into B*(P+1)."""
+    qv = np.asarray(query, dtype=np.float64)
+    planes = _plane_sets(qv.shape[0], n_planes, n_bands, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    probes: list[tuple[int, int]] = []
+    for b in range(n_bands):
+        base = int(((qv @ planes[b]) > 0) @ weights)
+        probes.append((b, base))
+        if radius >= 1:
+            probes.extend((b, base ^ (1 << j)) for j in range(n_planes))
+    return probes
 
 
 def cosine_topk_lsh(bucketed: DataFrame, query: list[float] | np.ndarray,
-                    n_planes: int = 16, seed: int = 7, k: int = 10,
+                    n_planes: int = 16, n_bands: int = 4, seed: int = 7,
+                    k: int = 10, radius: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+    """Approximate top-k: probe the query's bucket in EVERY band, plus the
+    1-bit-flip neighbors of each (multiprobe), union the candidates, exact
+    cosine on the survivors only.
 
     ``bucketed`` is the persisted output of `hyperplane_buckets` (the index
-    table — partition/cluster by bucket at scale so the probe prunes files).
+    table — partition/cluster by (band, bucket) at scale so probes prune
+    files). The probe list is tiny (B*(P+1) rows) -> broadcast semi-join.
     """
     qv = np.asarray(query, dtype=np.float64)
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((qv.shape[0], n_planes))
-    signs = (qv @ planes) > 0
-    qbucket = int((signs @ (1 << np.arange(n_planes))).astype(np.int64))
+    probes = query_probe_buckets(qv, n_planes, n_bands, seed, radius)
+    spark = bucketed.sparkSession
+    probe_df = spark.createDataFrame(probes, "band int, bucket long")
     q = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        bucketed.filter(F.col("bucket") == qbucket)
+        bucketed.join(F.broadcast(probe_df), ["band", "bucket"], "left_semi")
+        .dropDuplicates([id_col])
         .select(F.col(id_col),
                 cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
