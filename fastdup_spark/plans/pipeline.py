@@ -410,10 +410,23 @@ class FastdupSpark:
         edges = self.store.read(self.spark, "similarity").select("src", "dst")
         return _pr(edges, vertices=self.docs().select("doc_id"))
 
-    def report(self, num_items: int = 20) -> str:
-        """≈ the five galleries rendered post-run (markdown, not HTML)."""
-        from fastdup_spark.plans.report import full_report
-        return full_report(self, num_items)
+    def report(self, num_items: int = 20, fmt: str = "md",
+               save_path: str | None = None) -> str:
+        """≈ the five galleries rendered post-run. fmt='md' (text analog) or
+        'html' (the reference's native deliverable, galleries.py:268-1728);
+        optionally written to ``save_path``."""
+        if fmt == "html":
+            from fastdup_spark.plans.html_report import full_html_report
+            out = full_html_report(self, num_items)
+        elif fmt == "md":
+            from fastdup_spark.plans.report import full_report
+            out = full_report(self, num_items)
+        else:
+            raise ValueError(f"fmt must be 'md' or 'html', got {fmt!r}")
+        if save_path:
+            with open(save_path, "w") as f:
+                f.write(out)
+        return out
 
     # ---------------------------------------------------------- annotations
     def set_annotations(self, annot: DataFrame | str, on: str = "url") -> None:

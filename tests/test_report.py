@@ -54,3 +54,28 @@ def test_annotations_from_csv(fd, tmp_path, spark):
     fd.set_annotations(str(p))
     ann = fd.annotations()
     assert ann.filter("status = 'VALID'").count() == 3
+
+
+def test_html_report_galleries(fd, tmp_path):
+    """fd.report(fmt='html') renders all six gallery sections (the
+    reference's native HTML deliverable, galleries.py:268-1728)."""
+    out = str(tmp_path / "report.html")
+    html_doc = fd.report(num_items=5, fmt="html", save_path=out)
+    assert html_doc.startswith("<!doctype html>")
+    for heading in ["Run summary", "Top duplicate pairs",
+                    "Top duplicate clusters", "Outliers (most unique)",
+                    "Extreme docs by n_chars", "Nearest neighbors"]:
+        assert heading in html_doc, heading
+    # tables have data rows and urls are present
+    assert html_doc.count("<table>") >= 4
+    assert "http" in html_doc
+    import os
+    assert os.path.getsize(out) > 1000
+    # escaping: no raw unescaped angle brackets from data
+    assert "<script" not in html_doc
+
+
+def test_report_bad_fmt(fd):
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fd.report(fmt="pdf")
