@@ -90,3 +90,36 @@ def test_containment_pairs_confirmed(fd, url_of, data):
               .filter(F.col("jaccard") < fd.config.threshold).collect()}
     expected = [p for p in reachable if p in scored]
     assert set(confirmed) >= set(expected)
+
+
+def test_lcs_long_doc_containment_beyond_cap(spark):
+    """A 50k-char doc containing a 2k block at offset ~35k (past the 20k SAM
+    cap) must be detected via the fingerprint-aligned window (round-1 gap:
+    prefix truncation missed anything beyond the cap)."""
+    import random
+    from fastdup_spark.functions.lcs import lcs_confirm
+
+    rng = random.Random(77)
+    words = [f"w{rng.randrange(100000)}" for _ in range(9000)]
+    long_doc = " ".join(words)                    # ~60k chars of unique noise
+    block = long_doc[35_000:37_000]               # the shared 2k substring
+    short_doc = ("prefix padding " * 20) + block + (" suffix" * 10)
+    pairs = spark.createDataFrame(
+        [(1, 2, short_doc, long_doc)], "src long, dst long, text_a string, text_b string")
+    row = lcs_confirm(pairs, cap_chars=20_000).collect()[0]
+    assert row["lcs_len"] >= 1900, row
+    assert row["containment"] >= 0.5
+
+
+def test_lcs_long_docs_no_shared_region(spark):
+    """Two long unrelated docs: window alignment must not fabricate length."""
+    import random
+    from fastdup_spark.functions.lcs import lcs_confirm
+
+    rng = random.Random(3)
+    a = " ".join(f"a{rng.randrange(10**9)}" for _ in range(6000))
+    b = " ".join(f"b{rng.randrange(10**9)}" for _ in range(6000))
+    pairs = spark.createDataFrame(
+        [(1, 2, a, b)], "src long, dst long, text_a string, text_b string")
+    row = lcs_confirm(pairs, cap_chars=20_000).collect()[0]
+    assert row["lcs_len"] < 64
