@@ -147,6 +147,32 @@ def q_ngram_jaccard_pairs(spark, sf):
     )
 
 
+def q_decontamination(spark, sf):
+    """J9 train/eval cross-set decontamination: eval docs whose exact content
+    hash appears in the train split (planted mirrors guarantee non-vacuous
+    cross-split dups at every sf). Only cross-set pairs are emitted — the
+    reference's test_dir mode (/root/reference/RUN.md:189-192). The mirror
+    offset is ODD (+10000001) so a mirror's doc_id%10 split differs from its
+    original's for 2 of 10 residues — guaranteeing cross-split dup pairs."""
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    mirror = base.filter(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"), "text")
+    d = base.unionByName(mirror)
+    tagged = d.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", 10) < 8, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("split"),
+        F.md5("text").alias("hk"))
+    ev = tagged.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "hk")
+    tr = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "hk")
+    return (
+        ev.join(tr, "hk")
+        .select("eval_doc", "train_doc")
+    )
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -517,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_histogram": q_exact_dup_histogram,
         "exact_dup_drop_list": q_exact_dup_drop_list,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "decontamination": q_decontamination,
         "content_fingerprint": q_content_fingerprint,
         # text analysis
         "doc_char_classes": q_doc_char_classes,
@@ -669,6 +696,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.src
             JOIN sizes sb ON sb.doc_id = i.dst
             WHERE round(i.inter_cnt * 1.0 / (sa.n + sb.n - i.inter_cnt), 6) >= 0.05
+        """,
+        "decontamination": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000001 AS doc_id, text FROM documents WHERE doc_id < 500
+            ),
+            tagged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split,
+                     md5(text) AS hk
+              FROM docs
+            )
+            SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc
+            FROM tagged e JOIN tagged t ON e.hk = t.hk
+            WHERE e.split = 'eval' AND t.split = 'train'
         """,
         "content_fingerprint": """
             SELECT doc_id,

@@ -139,15 +139,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: full dedup pipeline over the synthetic pages corpus
+    # headline: full dedup pipeline over the synthetic pages corpus.
+    # min-of-N trials — this sandbox's run-to-run noise is ~2x (CLAUDE.md),
+    # so a single-trial headline is not comparable round-over-round.
     from fastdup_spark import FastdupSpark
-    work = "/tmp/fd_bench_work"
-    shutil.rmtree(work, ignore_errors=True)
     pages = spark.read.parquet(pp)
-    fd = FastdupSpark(spark, work)
-    t0 = time.time()
-    summ = fd.run(pages, force=True)
-    timings["dedup_pipeline"] = round(time.time() - t0, 3)
+    headline_trials = int(os.environ.get("BENCH_HEADLINE_TRIALS", "2"))
+    trial_secs = []
+    for i in range(headline_trials):
+        work = f"/tmp/fd_bench_work_{i}"
+        shutil.rmtree(work, ignore_errors=True)
+        fd = FastdupSpark(spark, work)
+        t0 = time.time()
+        summ = fd.run(pages, force=True)
+        trial_secs.append(round(time.time() - t0, 3))
+    timings["dedup_pipeline"] = min(trial_secs)
     throughput_docs_per_hour = 3600.0 * summ["total_pages"] / timings["dedup_pipeline"]
 
     # representative per-operator queries over the driver's testdata
@@ -194,6 +200,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF,
         "n_pages": int(summ["total_pages"]),
+        "dedup_trials_sec": trial_secs,
         "dedup_docs_per_hour": round(throughput_docs_per_hour, 1),
         "summary": summ,
         "scaling": scaling,
@@ -207,7 +214,8 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(f"\n## bench run (sf={SF}, n_pages={summ['total_pages']})\n\n")
             f.write(f"- dedup pipeline: {timings['dedup_pipeline']}s "
-                    f"({throughput_docs_per_hour:,.0f} docs/hour at local[{CPUS}])\n")
+                    f"({throughput_docs_per_hour:,.0f} docs/hour at local[{CPUS}]; "
+                    f"min of trials {trial_secs})\n")
             if scaling:
                 f.write(f"- scaling: local[{scaling['cores_low']}]={scaling['sec_low']}s "
                         f"({scaling['throughput_low_docs_h']:,.0f} docs/h), "

@@ -103,8 +103,15 @@ def slice_by_label(df: DataFrame, value: str, label_col: str = "label") -> DataF
     else:
         exact = F.col(label_col) == value
         fuzzy = F.lower(F.col(label_col)).contains(value.lower())
-    matched = df.filter(exact)
-    return matched if not matched.isEmpty() else df.filter(fuzzy)
+    # lazy fallback: a broadcast 1-row aggregate decides exact-vs-fuzzy inside
+    # the plan (the old .isEmpty() ran an eager job per operator composition)
+    has_exact = df.agg(
+        (F.coalesce(F.max(exact.cast("int")), F.lit(0)) == 1).alias("_has_exact"))
+    return (
+        df.crossJoin(F.broadcast(has_exact))
+        .filter((F.col("_has_exact") & exact) | (~F.col("_has_exact") & fuzzy))
+        .drop("_has_exact")
+    )
 
 
 def slice_components_by_keyword(grouped: DataFrame, keyword: str,

@@ -493,11 +493,15 @@ class FastdupSpark:
             .select("doc_id").distinct()
         )
         sh = self.store.read(self.spark, "signatures").select("doc_id", "shingles")
-        qrow = qsig.select("shingles").collect()[0]
-        q_shingles = F.array(*[F.lit(int(s)) for s in qrow["shingles"]])
+        # the query's shingle array rides in as a broadcast 1-row join, not a
+        # literal expression tree (a 20k-token query doc would otherwise blow
+        # up the plan)
+        qsh = F.broadcast(qsig.select(F.col("shingles").alias("q_shingles")))
         return (
             cand_ids.join(sh, "doc_id")
-            .select("doc_id", exact_jaccard_expr(F.col("shingles"), q_shingles).alias("jaccard"))
+            .crossJoin(qsh)
+            .select("doc_id", exact_jaccard_expr(
+                F.col("shingles"), F.col("q_shingles")).alias("jaccard"))
             .join(self.docs().select("doc_id", "url"), "doc_id")
             .orderBy(F.desc("jaccard"), "doc_id")
             .limit(k)
