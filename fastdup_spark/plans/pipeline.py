@@ -131,10 +131,21 @@ class FastdupSpark:
                                   "extract_counts")
         docs = self.docs()
 
+        # Independent stages are submitted from SEPARATE DRIVER THREADS:
+        # Spark schedules concurrent jobs onto the same executor pool, so one
+        # stage's serial driver overhead (planning, commit, marker IO)
+        # overlaps another's compute — on a real cluster this is what keeps
+        # 1000 executors busy between stage boundaries.
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=4)
+
         # --- stage 2: per-doc stats (ref: atrain_stats.csv) ---
-        if not done("doc_stats"):
-            st = doc_stats_op(docs.select("doc_id", "text"), id_col="doc_id")
-            self.store.write(st, "doc_stats", self._chash)
+        # independent of the signature path -> runs alongside stages 3-5
+        def _doc_stats():
+            if not done("doc_stats"):
+                st = doc_stats_op(docs.select("doc_id", "text"), id_col="doc_id")
+                self.store.write(st, "doc_stats", self._chash)
+        doc_stats_fut = pool.submit(_doc_stats)
 
         # --- stage 3: signatures (ref: atrain_features.dat) ---
         if not done("signatures"):
@@ -197,28 +208,32 @@ class FastdupSpark:
             self.store.write(scored, "pairs_scored", self._chash)
         scored = self.store.read(self.spark, "pairs_scored")
 
-        # similarity table: ALL verified edges >= threshold (the >=0.99
-        # dup-pair recall contract is measured here, so no truncation)
-        if not done("similarity"):
-            sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
-                        .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
-            self.store.write(sim, "similarity", self._chash,
-                             counters={"threshold": cfg.threshold})
+        # --- tail stages: four independent groups, submitted concurrently ---
 
-        # knn table ≈ the reference's similarity.csv contract: top
-        # nearest_neighbors_k=2 neighbors PER DOC, directed
-        # (/root/reference/fastdup/__init__.py:486,574 — W2). Bounds the
-        # reported table to <= k rows/doc even when a giant dup clique makes
-        # the full edge set quadratic in clique size.
-        if not done("knn"):
-            from fastdup_spark.operators.knn import knn_truncate
-            sim = self.store.read(self.spark, "similarity")
-            self.store.write(knn_truncate(sim, cfg.knn_k), "knn", self._chash,
-                             counters={"k": cfg.knn_k})
+        def _similarity_knn():
+            # similarity table: ALL verified edges >= threshold (the >=0.99
+            # dup-pair recall contract is measured here, so no truncation)
+            if not done("similarity"):
+                sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
+                            .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
+                self.store.write(sim, "similarity", self._chash,
+                                 counters={"threshold": cfg.threshold})
+            # knn table ≈ the reference's similarity.csv contract: top
+            # nearest_neighbors_k=2 neighbors PER DOC, directed
+            # (/root/reference/fastdup/__init__.py:486,574 — W2). Bounds the
+            # reported table to <= k rows/doc even when a giant dup clique
+            # makes the full edge set quadratic in clique size.
+            if not done("knn"):
+                from fastdup_spark.operators.knn import knn_truncate
+                sim = self.store.read(self.spark, "similarity")
+                self.store.write(knn_truncate(sim, cfg.knn_k), "knn",
+                                 self._chash, counters={"k": cfg.knn_k})
 
-        # LCS containment confirm: sub-threshold candidates that may be
-        # verbatim-containment duplicates (north_rule confirm stage)
-        if not done("containment"):
+        def _containment():
+            # LCS containment confirm: sub-threshold candidates that may be
+            # verbatim-containment duplicates (north_rule confirm stage)
+            if done("containment"):
+                return
             if cfg.lcs_enabled:
                 sub = scored.filter(F.col("jaccard") < cfg.threshold).select("src", "dst")
                 texts = docs.select("doc_id", "text")
@@ -237,25 +252,36 @@ class FastdupSpark:
                         [], "src bigint, dst bigint, lcs_len bigint, containment double"),
                     "containment", self._chash)
 
-        # --- stage 6: connected components (ref: CC at ccthreshold) ---
-        if not done("assignments"):
-            cc_edges = scored.filter(F.col("jaccard") >= cfg.cc_threshold) \
-                             .select("src", "dst")
-            asg = connected_components(
-                cc_edges, vertices=docs.select("doc_id"),
-                checkpoint_every=cfg.checkpoint_every_cc_iters)
-            self.store.write(asg, "assignments", self._chash)
-        if not done("component_info"):
-            asg = self.store.read(self.spark, "assignments")
-            info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
-            self.store.write(info, "component_info", self._chash)
+        def _components():
+            # --- stage 6: connected components (ref: CC at ccthreshold) ---
+            if not done("assignments"):
+                cc_edges = scored.filter(F.col("jaccard") >= cfg.cc_threshold) \
+                                 .select("src", "dst")
+                asg = connected_components(
+                    cc_edges, vertices=docs.select("doc_id"),
+                    checkpoint_every=cfg.checkpoint_every_cc_iters)
+                self.store.write(asg, "assignments", self._chash)
+            if not done("component_info"):
+                asg = self.store.read(self.spark, "assignments")
+                info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
+                self.store.write(info, "component_info", self._chash)
 
-        # --- stage 7: outliers (ref: bottom 5% NN distance) ---
-        if not done("outliers"):
-            n_docs = (self.store.read_json("extract_counts") or {}).get("valid")
-            bn = best_neighbor(docs, scored, sim_col="jaccard")
-            out = outliers_by_percentile(bn, cfg.outlier_pct, n=n_docs)
-            self.store.write(out, "outliers", self._chash)
+        def _outliers():
+            # --- stage 7: outliers (ref: bottom 5% NN distance) ---
+            if not done("outliers"):
+                n_docs = (self.store.read_json("extract_counts") or {}).get("valid")
+                bn = best_neighbor(docs, scored, sim_col="jaccard")
+                out = outliers_by_percentile(bn, cfg.outlier_pct, n=n_docs)
+                self.store.write(out, "outliers", self._chash)
+
+        futs = [pool.submit(f) for f in
+                (_similarity_knn, _containment, _components, _outliers)]
+        futs.append(doc_stats_fut)
+        try:
+            for f in futs:
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
 
         # --- summary + manifest (ref: config.json + summary()) ---
         # scalar counts come from the stage markers — no table re-scans
