@@ -164,14 +164,18 @@ class FastdupSpark:
         salted = self.store.read(self.spark, "buckets")
         if not done("candidates"):
             cands = candidate_pairs(salted)
-            # skew counters recomputed from the persisted index table
-            srow = bucket_stats(salted).agg(
+            # skew counters recomputed from the persisted index table — the
+            # aggregate runs on a pool thread WHILE the candidates table
+            # writes, then lands in the marker via refresh_marker
+            stats_fut = pool.submit(lambda: bucket_stats(salted).agg(
                 F.count("*").alias("n_buckets_ge2"),
                 F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
                 F.coalesce(F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1)
                                  .otherwise(0)), F.lit(0)).alias("n_salted_buckets"),
-            ).collect()[0]
-            self.store.write(cands, "candidates", self._chash, counters={
+            ).collect()[0])
+            self.store.write(cands, "candidates", self._chash)
+            srow = stats_fut.result()
+            self.store.refresh_marker("candidates", self._chash, counters={
                 "n_buckets_ge2": int(srow["n_buckets_ge2"]),
                 "max_bucket_size": int(srow["max_bucket_size"]),
                 "n_salted_buckets": int(srow["n_salted_buckets"]),
