@@ -432,6 +432,23 @@ def q_classification_report(spark, sf):
     return classification_report(pred).withColumnRenamed("class", "clazz")
 
 
+def q_pagerank(spark, sf):
+    """A15 PageRank, fully oracle-checked: 3 fixed power iterations (tol=0
+    forces all rounds) over the deterministic customer->nation->region
+    hierarchy graph (node spaces offset so ids never collide). DuckDB
+    replays the identical trajectory with unrolled CTEs."""
+    from fastdup_spark.operators.pagerank import pagerank
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"))
+    n = _t(spark, sf, "nation").select(
+        (F.col("n_nationkey") + 1000000).alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"))
+    edges = c.unionByName(n)
+    return pagerank(edges, max_iter=3, tol=0.0).select("doc_id", "pagerank")
+
+
 def q_label_majority_vote(spark, sf):
     """A5 top_k_label majority vote: dominant order priority per customer."""
     from fastdup_spark.operators.labels import top_k_label
@@ -570,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_stats": q_part_type_stats,
         "classification_report": q_classification_report,
         "label_majority_vote": q_label_majority_vote,
+        "pagerank": q_pagerank,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -579,6 +597,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assignments": q_kmeans_assignments,
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
     }
+
+
+def _pagerank_oracle_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power iteration mirroring operators/pagerank.pagerank on the
+    customer->nation->region hierarchy graph (q_pagerank): symmetrized
+    distinct edges, rank0 = 1.0, rank = (1-d) + d * inflow each round."""
+    step = """
+        r{nxt} AS (
+          SELECT n.doc_id,
+                 CAST({tele} AS DOUBLE) + CAST({damp} AS DOUBLE)
+                   * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.v AS doc_id, sum(r.rank / d.deg) AS inflow
+            FROM eb e
+            JOIN r{i} r ON e.u = r.doc_id
+            JOIN deg d ON e.u = d.u
+            GROUP BY e.v) s ON n.doc_id = s.doc_id
+        )"""
+    parts = [f"""
+        base AS (
+          SELECT c_custkey AS u, c_nationkey + 1000000 AS v FROM customer
+          UNION ALL
+          SELECT n_nationkey + 1000000 AS u, n_regionkey + 2000000 AS v FROM nation
+        ),
+        eb AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM base WHERE u <> v
+            UNION ALL
+            SELECT v AS u, u AS v FROM base WHERE u <> v)
+        ),
+        nodes AS (SELECT DISTINCT u AS doc_id FROM eb),
+        deg AS (SELECT u, count(*) AS deg FROM eb GROUP BY u),
+        r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""]
+    for it in range(n_iter):
+        parts.append(step.format(i=it, nxt=it + 1,
+                                 tele=1 - damping, damp=damping))
+    return ("WITH " + ",".join(parts)
+            + f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{n_iter}")
 
 
 def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
@@ -923,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
                    r.cnt, t.total
             FROM ranked r JOIN totals t ON r.src = t.src WHERE r.rk = 1
         """,
+        "pagerank": _pagerank_oracle_sql(),
         "kmeans_assignments": _kmeans_oracle_sql(),
         "kmeans_centroid_stats": f"""
             WITH base AS ({_kmeans_oracle_sql()})
