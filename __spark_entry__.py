@@ -173,6 +173,28 @@ def q_decontamination(spark, sf):
     )
 
 
+def q_passage_dedup(spark, sf):
+    """Passage-level exact dedup (Lee et al. 2022, 'Deduplicating Training
+    Data Makes Language Models Better'): non-overlapping 20-word chunks
+    hashed and grouped across the corpus; passages in >= 2 docs are repeated
+    boilerplate/duplication (planted mirrors guarantee non-vacuous groups).
+    Short docs (<20 words) contribute no chunks (ANSI-safe guard)."""
+    d = _docs_with_planted_dups(spark, sf)
+    w = _tokens(F.col("text"))
+    chunks_expr = F.when(F.size(w) < 20, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), (F.size(w) / 20).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 20 + 1, 20)),
+        ))
+    ch = d.select("doc_id", F.explode(chunks_expr).alias("passage"))
+    return (
+        ch.groupBy(F.md5("passage").alias("passage_key"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -561,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_drop_list": q_exact_dup_drop_list,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "decontamination": q_decontamination,
+        "passage_dedup": q_passage_dedup,
         "content_fingerprint": q_content_fingerprint,
         # text analysis
         "doc_char_classes": q_doc_char_classes,
@@ -768,6 +791,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc
             FROM tagged e JOIN tagged t ON e.hk = t.hk
             WHERE e.split = 'eval' AND t.split = 'train'
+        """,
+        "passage_dedup": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 500
+            ),
+            toks AS (SELECT doc_id, {tok} AS w FROM docs),
+            ch AS (
+              SELECT doc_id,
+                     array_to_string(w[(i-1)*20+1 : i*20], ' ') AS passage
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, len(w) // 20 + 1)) AS i
+                    FROM toks)
+            )
+            SELECT md5(passage) AS passage_key,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM ch GROUP BY md5(passage) HAVING count(DISTINCT doc_id) >= 2
         """,
         "content_fingerprint": """
             SELECT doc_id,
