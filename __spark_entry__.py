@@ -243,6 +243,26 @@ def q_stopword_votes(spark, sf):
     )
 
 
+def q_lang_id(spark, sf):
+    """Language-ID heuristic (operators/textql.py:lang_id_expr) per doc:
+    CJK charset test, then argmax of per-language stopword votes with
+    fixed precedence — fully mirrored in the DuckDB oracle."""
+    from fastdup_spark.operators.textql import lang_id_expr
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark, sf):
+    """Gopher-rule-style quality score in [0,1]
+    (operators/textql.py:quality_score_expr) — pure per-row arithmetic,
+    reproduced exactly by the oracle."""
+    from fastdup_spark.operators.textql import quality_score_expr
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
 def q_doc_stats_agg(spark, sf):
     """A8 summary analog: per (lang, source) corpus stats."""
     d = _t(spark, sf, "documents")
@@ -589,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_classes": q_doc_char_classes,
         "token_counts": q_token_counts,
         "stopword_votes": q_stopword_votes,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
         "doc_stats_agg": q_doc_stats_agg,
         "length_quantile_filter": q_length_quantile_filter,
         "explode_words": q_explode_words,
@@ -839,6 +861,65 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter({ltok},
                        x -> x IN ('der','und','die','das','von','ist'))) AS de_votes
             FROM documents
+        """,
+        "lang_id": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+                       AS cjk,
+                     string_split_regex(trim(regexp_replace(lower(text),
+                       '[\.,!\?;:]', '', 'g')), '\s+') AS toks
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n_chars, cjk,
+                len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS en,
+                len(list_filter(toks, x -> x IN ('der','und','die','das','von','ist','mit','nicht'))) AS de,
+                len(list_filter(toks, x -> x IN ('le','et','les','des','est','dans','pour','que'))) AS fr,
+                len(list_filter(toks, x -> x IN ('el','y','los','las','es','con','para','una'))) AS es
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n_chars = 0 THEN 'und'
+                        WHEN cjk * 5 > n_chars THEN 'zh'
+                        WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM v
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     string_split_regex(trim(regexp_replace(lower(text),
+                       '[\.,!\?;:]', '', 'g')), '\s+') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE len(list_distinct(toks)) * CAST(1.0 AS DOUBLE) / len(toks)
+                END AS distinct_ratio,
+                CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                          * CAST(1.0 AS DOUBLE) / n_chars END AS digit_ratio,
+                CASE WHEN n_chars = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE (n_chars - length(regexp_replace(text, '[\.,!\?;:]', '', 'g')))
+                          * CAST(1.0 AS DOUBLE) / n_chars END AS punct_ratio,
+                CASE WHEN n_chars < 64 THEN n_chars / CAST(64.0 AS DOUBLE)
+                     WHEN n_chars > 100000 THEN CAST(0.5 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS len_score
+              FROM t
+            )
+            SELECT doc_id,
+                   round(greatest(CAST(0.0 AS DOUBLE), least(
+                     CAST(0.4 AS DOUBLE) * len_score
+                     + CAST(0.3 AS DOUBLE) * least(distinct_ratio * 2, CAST(1.0 AS DOUBLE))
+                     + CAST(0.15 AS DOUBLE) * (1 - least(digit_ratio * 4, CAST(1.0 AS DOUBLE)))
+                     + CAST(0.15 AS DOUBLE) * (1 - least(punct_ratio * 4, CAST(1.0 AS DOUBLE))),
+                     CAST(1.0 AS DOUBLE))), 6) AS quality
+            FROM r
         """,
         "doc_stats_agg": """
             -- cast: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas
