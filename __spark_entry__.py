@@ -505,6 +505,22 @@ def q_label_majority_vote(spark, sf):
 # non-SQL-expressible (rows-only driver check; pytest oracles in tests/)
 # --------------------------------------------------------------------------
 
+def q_near_dup_pairs(spark, sf):
+    """THE core contract, oracle-checked end-to-end: the MinHash->LSH->exact-
+    verify pipeline's edge set must equal DuckDB's brute-force exact 9-gram
+    Jaccard pairs >= threshold. LSH is an optimization, not an
+    approximation, at this recall point (32 bands x 4 rows misses a J=0.85
+    pair with p ~ 6e-11), so the outputs are identical — any dropped or
+    extra pair is a hash-mismatch here."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.plans.pipeline import near_dup_pipeline
+
+    docs = _t(spark, sf, "documents")
+    res = near_dup_pipeline(docs, PipelineConfig())
+    return res["edges"].select(
+        "src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_lsh_dedup(spark, sf):
     """Full MinHash->LSH->verify->CC near-dup pipeline over documents."""
     from fastdup_spark.config import PipelineConfig
@@ -633,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "label_majority_vote": q_label_majority_vote,
         "pagerank": q_pagerank,
+        # core near-dup contract (oracle = brute-force exact Jaccard)
+        "near_dup_pairs": q_near_dup_pairs,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1101,6 +1119,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r.cnt >= 3 THEN r.label2 ELSE 'Unknown' END AS predicted,
                    r.cnt, t.total
             FROM ranked r JOIN totals t ON r.src = t.src WHERE r.rk = 1
+        """,
+        "near_dup_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT src, dst,
+                   round(icnt * CAST(1.0 AS DOUBLE)
+                         / (sa.n + sb.n - icnt), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = src
+            JOIN sizes sb ON sb.doc_id = dst
+            WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
         """,
         "pagerank": _pagerank_oracle_sql(),
         "kmeans_assignments": _kmeans_oracle_sql(),
