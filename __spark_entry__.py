@@ -516,6 +516,11 @@ def q_near_dup_pairs(spark, sf):
     from fastdup_spark.plans.pipeline import near_dup_pipeline
 
     docs = _t(spark, sf, "documents")
+    # both sides exclude docs whose NORMALIZED text is empty (punctuation/
+    # whitespace-only) — the oracle's gram model is undefined for them
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
     res = near_dup_pipeline(docs, PipelineConfig())
     return res["edges"].select(
         "src", "dst", F.round("jaccard", 6).alias("jaccard"))

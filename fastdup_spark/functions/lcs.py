@@ -35,8 +35,12 @@ _FP_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _fingerprints(text: str) -> tuple[np.ndarray, np.ndarray]:
-    """(hashes, positions) of threshold-sampled rolling k-gram hashes."""
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    """(hashes, char positions) of threshold-sampled rolling k-gram hashes.
+
+    utf-32-le gives exactly one array element per CHARACTER, so positions
+    index the Python string directly (utf-8 byte offsets would mislocate
+    the window for any non-ASCII text)."""
+    b = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = len(b) - _FP_K + 1
     if n <= 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
@@ -155,7 +159,9 @@ def lcs_confirm(pairs_with_text: DataFrame, cap_chars: int = 20000,
                 tb = tb or ""
                 if len(ta) > len(tb):   # SAM over the shorter string is cheaper
                     ta, tb = tb, ta
-                m = min(len(ta), len(tb))
+                # denominator capped like the numerator (lcs_len <= cap), so
+                # identical long docs still report containment 1.0
+                m = min(len(ta), len(tb), cap_chars)
                 if len(tb) > cap_chars:
                     ta_w, tb_w = _align_windows(ta, tb, cap_chars)
                 else:

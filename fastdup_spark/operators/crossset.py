@@ -52,10 +52,13 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("src") < F.col("dst"))
+        # dedupe BEFORE the cosine: a near-dup pair collides in most bands,
+        # so verifying pre-dedup would recompute the expensive expression
+        # once per colliding band (va/vb are identical across duplicates)
+        .dropDuplicates(["src", "dst"])
         .withColumn("cosine", cosine_expr(F.col("va").cast("array<double>"),
                                           F.col("vb").cast("array<double>")))
         .select("src", "dst", "cosine")
-        .dropDuplicates(["src", "dst"])
     )
     edges = pairs.filter(F.col("cosine") >= threshold)
     asg = connected_components(

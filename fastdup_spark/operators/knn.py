@@ -126,6 +126,10 @@ def query_probe_buckets(query: list[float] | np.ndarray, n_planes: int = 16,
         probes.append((b, base))
         if radius >= 1:
             probes.extend((b, base ^ (1 << j)) for j in range(n_planes))
+        if radius >= 2:
+            probes.extend((b, base ^ (1 << j) ^ (1 << l))
+                          for j in range(n_planes)
+                          for l in range(j + 1, n_planes))
     return probes
 
 

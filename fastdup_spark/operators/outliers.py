@@ -59,6 +59,9 @@ def exact_rank_head(df: DataFrame, k: int, n: int, sort_col: str,
     """
     if k <= 0:
         return df.limit(0)
+    # NULL sort values never rank (the pruned path's cutoff filter and the
+    # fallback's full sort would otherwise disagree on their placement)
+    df = df.filter(F.col(sort_col).isNotNull())
     frac = min(1.0, (k / max(n, 1)) * margin)
     q = frac if ascending else 1.0 - frac
     cutoff = df.agg(

@@ -166,14 +166,16 @@ class FastdupSpark:
             cands = candidate_pairs(salted)
             # skew counters recomputed from the persisted index table — the
             # aggregate runs on a pool thread WHILE the candidates table
-            # writes, then lands in the marker via refresh_marker
+            # writes; the marker is only published AFTER both finish
+            # (write_table leaves no resume-complete marker, so a crash or
+            # counter failure mid-way just reruns the stage)
             stats_fut = pool.submit(lambda: bucket_stats(salted).agg(
                 F.count("*").alias("n_buckets_ge2"),
                 F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
                 F.coalesce(F.sum(F.when(F.col("bucket_size") > cfg.max_bucket_size, 1)
                                  .otherwise(0)), F.lit(0)).alias("n_salted_buckets"),
             ).collect()[0])
-            self.store.write(cands, "candidates", self._chash)
+            self.store.write_table(cands, "candidates")
             srow = stats_fut.result()
             self.store.refresh_marker("candidates", self._chash, counters={
                 "n_buckets_ge2": int(srow["n_buckets_ge2"]),
@@ -454,7 +456,7 @@ class FastdupSpark:
         else:
             raise ValueError(f"fmt must be 'md' or 'html', got {fmt!r}")
         if save_path:
-            with open(save_path, "w") as f:
+            with open(save_path, "w", encoding="utf-8") as f:
                 f.write(out)
         return out
 

@@ -90,6 +90,22 @@ class StageStore:
         os.replace(tmp, self.marker_path(stage))
         return marker
 
+    def write_table(self, df: DataFrame, stage: str,
+                    partition_by: list[str] | None = None) -> None:
+        """Write ONLY the stage table (old marker removed first). The stage
+        is incomplete until a later refresh_marker publishes the marker —
+        use when counters come from a job running concurrently with the
+        write, so the resume-complete marker never exists without them."""
+        path = self.table_path(stage)
+        if os.path.exists(self.marker_path(stage)):
+            os.remove(self.marker_path(stage))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        writer = df.write.mode("overwrite").format(self.fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
     def refresh_marker(self, stage: str, config_hash: str,
                        counters: dict | None = None) -> dict:
         """Rebuild a stage marker from the table's parquet footers WITHOUT

@@ -61,9 +61,12 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
 
     extracted_all = store.read(spark, "extracted")
     hwm = high_water_mark(extracted_all)
-    fresh = new_pages.filter(F.col("warc_ts") > F.lit(hwm)) if hwm else new_pages
-
-    ok, bad = split_extracted(fresh, cfg.min_text_chars)
+    # NOTE: hwm is reporting-only, NOT an ingest gate. A crash inside the
+    # multi-file extracted append can commit the part-file holding the max
+    # warc_ts while dropping others; a `warc_ts > hwm` pre-filter would then
+    # exclude the lost rows from every replay. The doc_id anti-join below is
+    # the sole (and sufficient) idempotency mechanism.
+    ok, bad = split_extracted(new_pages, cfg.min_text_chars)
     existing_ids = extracted_all.select("doc_id")
     new_docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
         "doc_id", "url", "warc_ts", "lang", "text")
@@ -77,6 +80,14 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     n_new = new_docs.count()
     n_new_bad = new_bad.count()
     if n_new == 0 and n_new_bad == 0:
+        # fully-redelivered batch. If a prior run crashed AFTER the extracted
+        # append but BEFORE the bookkeeping tail, the extracted marker is
+        # stale — detect from footers (no Spark job) and heal.
+        lineage = store._parquet_lineage(store.table_path("extracted"))
+        actual_rows = sum(x["rows"] for x in lineage)
+        marker = store.read_marker("extracted") or {}
+        if marker.get("rows") != actual_rows:
+            _finalize_bookkeeping(fd, n_appended_pairs=0)
         return {"new_docs": 0, "new_pairs": 0, "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
 
@@ -188,9 +199,26 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     ).unionByName(new_bad)
     _append(new_extracted, "extracted", partition_by=["is_valid"])
 
-    counts = store.read_json("extract_counts") or {"valid": 0, "bad": 0}
-    counts = {"valid": counts["valid"] + int(n_new),
-              "bad": counts["bad"] + int(n_new_bad)}
+    _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs))
+
+    return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
+            "hwm": str(high_water_mark(store.read(spark, "extracted")))}
+
+
+def _finalize_bookkeeping(fd, n_appended_pairs: int = 0) -> None:
+    """Post-append bookkeeping: counts, markers, derived tables, manifest.
+
+    extract_counts is DERIVED from the extracted table's parquet footers
+    (ground truth) rather than incremented, so a replay healing a crashed
+    batch recounts correctly instead of compounding the drift."""
+    spark = fd.spark
+    store = fd.store
+    cfg = fd.config
+
+    lineage = store._parquet_lineage(store.table_path("extracted"))
+    n_bad = sum(x["rows"] for x in lineage if "is_valid=false" in x["file"])
+    n_all = sum(x["rows"] for x in lineage)
+    counts = {"valid": n_all - n_bad, "bad": n_bad}
     store.write_json(counts, "extract_counts")
 
     # markers regenerated from footers so rows/lineage stay truthful
@@ -202,6 +230,7 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     from fastdup_spark.operators.knn import knn_truncate
     store.write(knn_truncate(store.read(spark, "similarity"), cfg.knn_k),
                 "knn", fd._chash, counters={"k": cfg.knn_k})
+    scored_all = store.read(spark, "pairs_scored")
     edges = scored_all.filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     docs_all = fd.docs()
     asg = connected_components(edges, vertices=docs_all.select("doc_id"))
@@ -224,6 +253,3 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     )
     store.write_json({"config": cfg.to_dict(), "config_hash": fd._chash,
                       "summary": summ}, "run_manifest")
-
-    return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
-            "hwm": str(high_water_mark(store.read(spark, "extracted")))}

@@ -79,6 +79,10 @@ def test_probe_list_shape():
     assert len(probes) == 4 * (8 + 1)
     assert len(set(probes)) == len(probes)
     assert {b for b, _ in probes} == {0, 1, 2, 3}
+    # radius=2 adds all C(P,2) two-bit flips per band (was a silent no-op)
+    probes2 = query_probe_buckets([0.5] * 64, n_planes=8, n_bands=4, radius=2)
+    assert len(probes2) == 4 * (1 + 8 + 28)
+    assert len(set(probes2)) == len(probes2)
 
 
 def test_index_rows_per_vector(spark, emb):

@@ -64,3 +64,38 @@ def test_high_water_mark_advances(spark, split_corpus, tmp_path):
     fd.update(new)
     h2 = high_water_mark(fd.docs())
     assert h2 > h1
+
+
+def test_crash_after_extracted_append_heals_on_replay(spark, split_corpus, tmp_path):
+    """Crash AFTER the extracted append but BEFORE the bookkeeping tail:
+    the replay of the (now fully-redelivered) batch must detect the stale
+    extracted marker from footers and heal counts/markers/derived tables."""
+    import fastdup_spark.streaming.incremental as inc
+
+    pages, old, new = split_corpus
+    fd = FastdupSpark(spark, str(tmp_path / "heal"))
+    fd.run(old)
+
+    real_finalize = inc._finalize_bookkeeping
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before bookkeeping")
+    inc._finalize_bookkeeping = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fd.update(new)
+    finally:
+        inc._finalize_bookkeeping = real_finalize
+
+    # marker is stale now: extracted grew but marker was not refreshed
+    lineage = fd.store._parquet_lineage(fd.store.table_path("extracted"))
+    assert sum(x["rows"] for x in lineage) != fd.store.read_marker("extracted")["rows"]
+
+    stats = fd.update(new)          # same batch redelivered -> heal path
+    assert stats["new_docs"] == 0
+    marker = fd.store.read_marker("extracted")
+    assert marker["rows"] == sum(x["rows"] for x in
+                                 fd.store._parquet_lineage(fd.store.table_path("extracted")))
+    counts = fd.store.read_json("extract_counts")
+    assert counts["valid"] == fd.docs().count()
+    # derived tables healed too: summary reflects the full corpus
+    assert fd.summary()["total_pages"] == counts["valid"] + counts["bad"]

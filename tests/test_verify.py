@@ -123,3 +123,36 @@ def test_lcs_long_docs_no_shared_region(spark):
         [(1, 2, a, b)], "src long, dst long, text_a string, text_b string")
     row = lcs_confirm(pairs, cap_chars=20_000).collect()[0]
     assert row["lcs_len"] < 64
+
+
+def test_lcs_long_doc_containment_non_ascii(spark):
+    """Fingerprint positions must be CHARACTER offsets: a CJK/accented long
+    doc (~3 utf-8 bytes/char) with a shared block past the cap would be
+    mislocated by byte-offset windows."""
+    import random
+    from fastdup_spark.functions.lcs import lcs_confirm
+
+    rng = random.Random(9)
+    cjk = [chr(0x4E00 + rng.randrange(2000)) for _ in range(40000)]
+    long_doc = "".join(cjk)                      # 40k chars, 120k utf-8 bytes
+    block = long_doc[30_000:32_000]
+    short_doc = "préfixe Ünicode " * 10 + block + " suffixé" * 5
+    pairs = spark.createDataFrame(
+        [(1, 2, short_doc, long_doc)], "src long, dst long, text_a string, text_b string")
+    row = lcs_confirm(pairs, cap_chars=20_000).collect()[0]
+    assert row["lcs_len"] >= 1900, row
+
+
+def test_lcs_identical_long_docs_containment_one(spark):
+    """Both texts beyond the cap and identical: containment must be 1.0
+    (denominator capped like the numerator)."""
+    import random
+    from fastdup_spark.functions.lcs import lcs_confirm
+
+    rng = random.Random(4)
+    doc = " ".join(f"t{rng.randrange(10**8)}" for _ in range(9000))
+    pairs = spark.createDataFrame(
+        [(1, 2, doc, doc)], "src long, dst long, text_a string, text_b string")
+    row = lcs_confirm(pairs, cap_chars=20_000).collect()[0]
+    assert row["containment"] == 1.0
+    assert row["lcs_len"] >= 19_000
