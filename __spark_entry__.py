@@ -425,6 +425,22 @@ def q_events_high_water(spark, sf):
     )
 
 
+def q_event_hourly_windows(spark, sf):
+    """Tumbling time-window aggregation (the batch shape of a Structured
+    Streaming watermark+window agg, §2.8): hourly buckets per event type
+    with order-free exact aggregates (count/min/max — no float-sum
+    order sensitivity across engines)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("win"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("value"), 6).alias("min_value"),
+             F.round(F.max("value"), 6).alias("max_value"))
+        .select("event_type", _ts(F.col("win")).alias("window_start"),
+                "n", "min_value", "max_value")
+    )
+
+
 def q_events_percentile_outliers(spark, sf):
     """F3 outlier percentile cut: bottom 5% of events by value (rank-based).
     Two-phase plan (approx prune -> exact rank on survivors), same shape as
@@ -648,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_shipments": q_suppliers_with_shipments,
         "best_event_per_user": q_best_event_per_user,
         "events_high_water": q_events_high_water,
+        "event_hourly_windows": q_event_hourly_windows,
         "events_percentile_outliers": q_events_percentile_outliers,
         "ntile_sampling": q_ntile_sampling,
         "part_type_stats": q_part_type_stats,
@@ -1042,6 +1059,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "event_hourly_windows": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS window_start,
+                   count(*) AS n,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "events_percentile_outliers": """
             WITH ranked AS (
