@@ -500,6 +500,39 @@ class FastdupSpark:
             .select("component_id", "doc_id", "url", "tile")
         )
 
+    # ------------------------------------------------------------ embeddings
+    def build_embedding_index(self, embeddings: DataFrame, n_planes: int = 8,
+                              n_bands: int = 4, seed: int = 7,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> None:
+        """≈ the reference's prebuilt nnf.index for embeddings-given mode
+        (run(embeddings=...), fastdup_controller.py:149-155): persist the
+        multi-band hyperplane-LSH bucket table as the `emb_index` stage.
+        The plane parameters land in the stage marker so `vector_search`
+        always probes with the exact planes that built the index."""
+        from fastdup_spark.operators.knn import hyperplane_buckets
+        idx = hyperplane_buckets(embeddings, n_planes=n_planes,
+                                 n_bands=n_bands, seed=seed,
+                                 id_col=id_col, vec_col=vec_col)
+        self.store.write(idx, "emb_index", self._chash, counters={
+            "n_planes": n_planes, "n_bands": n_bands, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+        })
+
+    def vector_search(self, query_vec, k: int = 10) -> DataFrame:
+        """≈ fd.vector_search (/root/reference/fastdup/__init__.py:2063-2303):
+        probe the persisted embedding index with a raw vector — multiprobe
+        across every band, exact cosine rerank on the candidates only."""
+        from fastdup_spark.operators.knn import cosine_topk_lsh
+        marker = self.store.read_marker("emb_index")
+        if marker is None:
+            raise ValueError("no emb_index stage — call build_embedding_index first")
+        c = marker["counters"]
+        idx = self.store.read(self.spark, "emb_index")
+        return cosine_topk_lsh(idx, query_vec, n_planes=c["n_planes"],
+                               n_bands=c["n_bands"], seed=c["seed"], k=k,
+                               id_col=c["id_col"], vec_col=c["vec_col"])
+
     def cross_host_pairs(self) -> DataFrame:
         """J10 analog (video cross-dir -> webtext cross-host): similarity
         edges whose endpoints live on different hosts (true mirrors)."""

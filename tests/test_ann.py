@@ -90,3 +90,24 @@ def test_index_rows_per_vector(spark, emb):
     lo, hi = b.groupBy("vec_id").count().agg(
         F.min("count"), F.max("count")).first()
     assert lo == hi == 4
+
+
+def test_fd_vector_search_roundtrip(spark, emb, tmp_path):
+    """build_embedding_index -> vector_search: a perturbed copy of a stored
+    vector retrieves its source at rank 1 (fd.vector_search analog,
+    __init__.py:2063-2303)."""
+    from fastdup_spark import FastdupSpark
+
+    fd = FastdupSpark(spark, str(tmp_path / "vs"))
+    fd.build_embedding_index(emb)
+    src = emb.filter(F.col("vec_id") == 123).first()["embedding"]
+    v = np.asarray(src, dtype=float)
+    rng = np.random.Generator(np.random.PCG64(5))
+    q = v + 0.1 * np.linalg.norm(v) / 8 * rng.standard_normal(v.shape)
+    top = fd.vector_search(q, k=5).collect()
+    assert top and top[0]["vec_id"] == 123
+
+    import pytest as _pt
+    fd2 = FastdupSpark(spark, str(tmp_path / "empty"))
+    with _pt.raises(ValueError):
+        fd2.vector_search(q)
