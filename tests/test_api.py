@@ -118,3 +118,13 @@ def test_knn_truncation_contract(fd):
     assert per_doc <= fd.config.knn_k
     ranks = kn.select("rank").distinct().collect()
     assert all(1 <= r["rank"] <= fd.config.knn_k for r in ranks)
+
+
+def test_search_long_query_doc(fd):
+    """A ~20k-token query must not blow up the plan (query shingles ride as
+    a broadcast 1-row relation, not a literal expression tree)."""
+    import random
+    rng = random.Random(12)
+    long_query = " ".join(f"q{rng.randrange(10**7)}" for _ in range(20_000))
+    res = fd.search(long_query, k=3).collect()
+    assert isinstance(res, list)  # no matches expected; must run cleanly
