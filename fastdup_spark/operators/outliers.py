@@ -44,6 +44,67 @@ def best_neighbor(all_docs: DataFrame, scored_pairs: DataFrame,
     )
 
 
+# Target rows per task in the distributed rank phase. 2M narrow rows per
+# row_number task is comfortably in-memory; the cap bounds the tiny
+# driver-side offset map even at 10^12-row inputs.
+_RANK_ROWS_PER_PART = 2_000_000
+_RANK_MAX_PARTS = 4096
+
+
+def _locally_ranked(pruned: DataFrame, n_pruned: int, sort_col: str,
+                    id_col: str, ascending: bool) -> DataFrame:
+    """Range-repartition on the composite key, then partition-local
+    row_number keyed on spark_partition_id — every window carries a
+    partition key."""
+    sort_key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    order = [sort_key, F.col(id_col).asc()]
+    parts = max(1, min(_RANK_MAX_PARTS,
+                       -(-max(n_pruned, 1) // _RANK_ROWS_PER_PART)))
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        pruned.repartitionByRange(parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w))
+    )
+
+
+def _distributed_rank_head(pruned: DataFrame, k: int, n_pruned: int,
+                           sort_col: str, id_col: str,
+                           ascending: bool) -> DataFrame:
+    """Exact deterministic head-k by (sort_col, id_col) over ``pruned``
+    without ever putting all rows through one task.
+
+    Two-level rank: range-repartition on the full composite sort key (so
+    partition i sorts entirely before partition i+1, ties included), take a
+    partition-local ``row_number`` keyed on ``spark_partition_id``, then add
+    cumulative per-partition offsets (a tiny P-row driver map, broadcast
+    back). The composite range key makes heavy ties in ``sort_col`` — the
+    common case for best_sim==0.0 outliers — spread across partitions
+    instead of collapsing into one.
+
+    The ranked frame is eagerly localCheckpoint-ed so the offset-count job
+    and the result job see the *same* range-partitioner boundaries (the
+    range sampler reseeds per RDD instantiation; without pinning, counts
+    and ranks could disagree).
+    """
+    ranked = _locally_ranked(pruned, n_pruned, sort_col, id_col,
+                             ascending).localCheckpoint(eager=True)
+    counts = {r["_pid"]: r["_cnt"] for r in
+              ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+              .collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = pruned.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long")
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .filter(F.col("_lrn") + F.col("_off") <= k)
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def exact_rank_head(df: DataFrame, k: int, n: int, sort_col: str,
                     id_col: str, ascending: bool = True,
                     margin: float = 1.5) -> DataFrame:
@@ -51,11 +112,14 @@ def exact_rank_head(df: DataFrame, k: int, n: int, sort_col: str,
     global single-partition sort of all ``n`` rows.
 
     Phase 1: a distributed approx-percentile cutoff prunes to ~margin*k
-    survivors; phase 2 runs the exact deterministic row_number rank on the
-    pruned set only. If the approximate cutoff under-prunes (skewed or
-    heavily-tied distributions can make percentile_approx land short of k
-    survivors), fall back to ranking the full table — the exact bottom-k
-    contract always wins over the shortcut.
+    survivors; phase 2 runs an exact deterministic *two-level* rank on the
+    pruned set (range-partition + local row_number + cumulative offsets —
+    no unpartitioned window anywhere, so neither the pruned path nor the
+    full-table under-prune fallback funnels rows through one task). If the
+    approximate cutoff under-prunes (skewed or heavily-tied distributions
+    can make percentile_approx land short of k survivors), fall back to
+    ranking the full table — the exact bottom-k contract always wins over
+    the shortcut.
     """
     if k <= 0:
         return df.limit(0)
@@ -71,15 +135,11 @@ def exact_rank_head(df: DataFrame, k: int, n: int, sort_col: str,
     pruned = df.filter(
         F.col(sort_col) <= F.lit(cutoff) if ascending
         else F.col(sort_col) >= F.lit(cutoff))
-    if pruned.count() < k:
-        pruned = df
-    w = Window.orderBy(
-        F.asc(sort_col) if ascending else F.desc(sort_col), F.asc(id_col))
-    return (
-        pruned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    n_pruned = pruned.count()
+    if n_pruned < k:
+        pruned, n_pruned = df, max(n, k)
+    return _distributed_rank_head(pruned, k, n_pruned, sort_col, id_col,
+                                  ascending)
 
 
 def outliers_by_percentile(best_nn: DataFrame, pct: float,

@@ -31,6 +31,37 @@ def test_all_tied_values(spark):
     assert sorted(r["doc_id"] for r in got) == list(range(10))
 
 
+def test_two_level_rank_matches_naive_on_skewed_fixture(spark):
+    """Round-2 verdict item #1: the distributed two-level rank must return
+    exactly the old single-window plan's rows on a skewed distribution —
+    95% of values tied at 0.0 (the best_sim==0 outlier regime) plus a
+    heavy-tail remainder."""
+    rows = [(i, 0.0 if i % 20 else float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, v double").repartition(16)
+    k = 250
+    got = exact_rank_head(df, k, 5000, "v", "doc_id", ascending=True).collect()
+    want = _naive_bottom_k([(v, i) for i, v in rows], k)
+    assert sorted((r["v"], r["doc_id"]) for r in got) == want
+
+
+def test_rank_plan_has_no_unpartitioned_window(spark):
+    """Every window in the rank phase must carry a partition key
+    (spark_partition_id) — an unpartitioned row_number would funnel the
+    whole pruned set through one task at scale."""
+    import re
+
+    from fastdup_spark.operators.outliers import _locally_ranked
+
+    df = spark.createDataFrame([(i, float(i % 3)) for i in range(400)],
+                               "doc_id long, v double")
+    plan = _locally_ranked(df, 400, "v", "doc_id", True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the window must actually be in this frame's plan
+    for spec in specs:
+        assert "_pid" in spec.split(",")[0], plan
+
+
 def test_descending_and_zero_k(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(50)],
                                "doc_id long, v double")
