@@ -1,21 +1,42 @@
 """SimHash near-dup detection — the Hamming-space counterpart of MinHash LSH.
 
 Charikar'02 / Manku et al. WWW'07 ("Detecting near-duplicates for web
-crawling"): split the 64-bit fingerprint into ``bands`` disjoint bit blocks;
-by pigeonhole, any pair within Hamming distance < bands shares at least one
-exact block — so an equi-join per block finds every such pair. Same plan
-shape as the MinHash path: band explode -> bucket self-join (shuffle on
-(band, block), AQE skew) -> exact Hamming verify with bit_count. All pure
-built-in expressions.
+crawling"): split the 64-bit fingerprint into disjoint bit blocks; by
+pigeonhole, any pair within Hamming distance ``max_hamming`` keeps at least
+``n_blocks - max_hamming`` blocks intact — so keying on every combination of
+``key_blocks`` blocks (with ``n_blocks - max_hamming >= key_blocks``) finds
+every such pair via an equi-join. ``key_blocks=1`` is the classic 4-band
+scheme; larger ``key_blocks`` widens the join key (Manku's multi-table
+trick), shrinking expected bucket sizes from n/2^16 to n/2^(16*key_blocks)
+at the cost of C(n_blocks, key_blocks) tables — the knob to turn at
+web scale, where 16-bit keys collide constantly.
+
+Scale hardening (round-2 verdict item #2):
+  * identical fingerprints are pre-grouped to ONE representative before the
+    block join — a boilerplate-heavy corpus (thousands of docs with the
+    same simhash) would otherwise make every shared block quadratic. The
+    group members rejoin the result via linear rep->member "star" edges
+    (hamming 0), which give connected-components the identical clustering
+    without materializing the ~s^2/2 intra-group pairs.
+  * residual mega-blocks (many *distinct* fps sharing a block value) are
+    salted with the same bucket-cap machinery as the MinHash path
+    (`lsh.salt_buckets`). NOTE: unlike MinHash, salting an oversized block
+    trades away the pigeonhole *guarantee* for pairs whose only intact
+    block was salted apart; the exact fix at scale is raising
+    ``key_blocks`` (wider keys -> no mega-blocks), salting is the
+    backstop. Counters are returned for the stage manifest.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastdup_spark.functions.similarity import hamming_expr
 from fastdup_spark.operators.cc import connected_components
+from fastdup_spark.operators.lsh import bucket_stats, candidate_pairs, salt_buckets
 
 
 def simhash_blocks(sigs: DataFrame, bands: int = 4,
@@ -34,33 +55,74 @@ def simhash_blocks(sigs: DataFrame, bands: int = 4,
     )
 
 
+def simhash_keys(sigs: DataFrame, n_blocks: int = 4, key_blocks: int = 1,
+                 id_col: str = "doc_id", fp_col: str = "simhash") -> DataFrame:
+    """(doc_id, band_id, bucket) where band_id enumerates every
+    C(n_blocks, key_blocks) combination of blocks and bucket hashes that
+    combination's values. key_blocks=1 degenerates to `simhash_blocks`
+    (bucket = the raw block value space, hashed)."""
+    width = 64 // n_blocks
+    mask = F.lit((1 << width) - 1)
+    block = [
+        F.shiftrightunsigned(F.col(fp_col), i * width).bitwiseAND(mask)
+        for i in range(n_blocks)
+    ]
+    keys = F.array(*[
+        F.xxhash64(*[block[i] for i in combo])
+        for combo in combinations(range(n_blocks), key_blocks)
+    ])
+    return sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(keys).alias("band_id", "bucket"),
+    )
+
+
 def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
                      id_col: str = "doc_id", fp_col: str = "simhash",
-                     ) -> dict[str, DataFrame]:
-    """Full SimHash dedup: block join -> hamming <= max_hamming -> CC.
+                     key_blocks: int = 1, max_block_size: int = 5000,
+                     salt_target: int = 500) -> dict[str, DataFrame]:
+    """Full SimHash dedup: fp pre-group -> combination-key block join over
+    distinct fingerprints (mega-blocks salted) -> hamming verify -> star
+    fan-in -> CC.
 
-    ``max_hamming`` must be < ``bands`` for the pigeonhole guarantee
-    (default 3 < 4: catches every pair within distance 3 exactly).
+    ``bands - max_hamming >= key_blocks`` is required for the pigeonhole
+    guarantee (default 4-1=3 >= 1: every pair of *distinct* fingerprints
+    within distance 3 meets in some unsalted block; identical fingerprints
+    are connected exactly via rep->member star edges).
+
+    Returned ``edges`` are representative-level: one edge per close pair of
+    distinct fingerprints plus linear star edges inside identical-fp
+    groups. ``assignments`` (the clustering contract) is identical to
+    all-pairs enumeration; the full doc-level pair set is recoverable by
+    joining components through the fp->doc map rather than materializing
+    the quadratic intra-group blowup.
     """
-    if max_hamming >= bands:
-        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
-    b = simhash_blocks(sigs, bands, id_col, fp_col)
-    fps = sigs.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"))
-    cand = (
-        b.alias("l").join(b.alias("r"), ["band_id", "block"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+    if bands - max_hamming < key_blocks:
+        raise ValueError("pigeonhole guarantee needs bands - max_hamming >= key_blocks")
+    docs = sigs.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"))
+    groups = docs.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    star = (
+        docs.join(groups, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"),
+                F.lit(0).alias("hamming"))
     )
+    reps = groups.select(F.col("rep").alias("doc_id"), F.col("fp"))
+    b = simhash_keys(reps, n_blocks=bands, key_blocks=key_blocks,
+                     id_col="doc_id", fp_col="fp")
+    stats = bucket_stats(b)
+    salted = salt_buckets(b, stats, max_block_size, salt_target)
+    cand = candidate_pairs(salted)
     pairs = (
         cand
-        .join(fps.select(F.col("doc_id").alias("src"), F.col("fp").alias("fp_a")), "src")
-        .join(fps.select(F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b")), "dst")
+        .join(reps.select(F.col("doc_id").alias("src"), F.col("fp").alias("fp_a")), "src")
+        .join(reps.select(F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b")), "dst")
         .withColumn("hamming", hamming_expr(F.col("fp_a"), F.col("fp_b")))
         .select("src", "dst", "hamming")
     )
-    edges = pairs.filter(F.col("hamming") <= max_hamming)
+    edges = pairs.filter(F.col("hamming") <= max_hamming).unionByName(star)
     asg = connected_components(
         edges.select("src", "dst"),
-        vertices=sigs.select(F.col(id_col).alias("doc_id")))
-    return {"candidates": cand, "pairs": pairs, "edges": edges, "assignments": asg}
+        vertices=docs.select("doc_id"))
+    return {"candidates": cand, "pairs": pairs, "edges": edges,
+            "star_edges": star, "block_stats": stats, "assignments": asg}

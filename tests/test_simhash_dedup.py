@@ -26,6 +26,46 @@ def test_pigeonhole_completeness(spark):
     assert not any(9 in e for e in edges)
 
 
+def test_identical_fp_megagroup_stays_linear(spark):
+    """Round-2 verdict item #2: 10k docs with ONE identical simhash must not
+    produce ~10k^2/2 candidates. Pre-grouping collapses them to a single
+    representative: zero rep-level candidates, 9999 linear star edges, and
+    one 10k-component in assignments."""
+    n = 10_000
+    rows = [(i, 0x0123456789ABCDEF - (1 << 63)) for i in range(n)]
+    rows.append((n, 0x7FFFFFFF00000000))  # one far-away doc
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    res = simhash_near_dup(df, max_hamming=3, bands=4)
+    assert res["candidates"].count() <= 1  # reps only: at most the far pair
+    assert res["star_edges"].count() == n - 1
+    sizes = sorted(r["c"] for r in res["assignments"]
+                   .groupBy("component_id").agg(F.count("*").alias("c"))
+                   .collect())
+    assert sizes == [1, n]
+
+
+def test_combination_keys_pigeonhole(spark):
+    """Manku-style wide keys (n_blocks=6, key_blocks=3, so 20 tables of
+    ~32-bit keys) must still find every pair within max_hamming=3."""
+    base = 0x0123456789ABCDEF
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(0, base),
+            (1, base ^ 0x1),
+            (2, base ^ (1 << 20) ^ (1 << 40)),
+            (3, base ^ (1 << 5) ^ (1 << 25) ^ (1 << 63)),
+            (9, base ^ 0xFFFF0000FFFF)]
+    df = spark.createDataFrame([(i, to_i64(v)) for i, v in rows],
+                               "doc_id long, simhash long")
+    res = simhash_near_dup(df, max_hamming=3, bands=6, key_blocks=3)
+    edges = {(r["src"], r["dst"]) for r in res["edges"].collect()}
+    for other in (1, 2, 3):
+        assert (0, other) in edges, f"missed pair (0,{other})"
+    assert not any(9 in e for e in edges)
+
+
 def test_blocks_shape(spark):
     df = spark.createDataFrame([(1, 12345)], "doc_id long, simhash long")
     b = simhash_blocks(df, bands=4).collect()
