@@ -542,6 +542,34 @@ def q_near_dup_pairs(spark, sf):
         "src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_search_many(spark, sf):
+    """Batched set-vs-corpus search (the reference's search run mode is
+    set-vs-set: every query row lands in search.csv,
+    /root/reference/fastdup/__init__.py:2162-2238, RUN.md:189-192):
+    queries = documents with doc_id % 7 == 1, probed against the full
+    corpus bucket index in ONE job. At the >= threshold regime LSH
+    candidate generation is exhaustive (same 6e-11 miss-probability
+    argument as near_dup_pairs), so the DuckDB gram brute force restricted
+    to the query set is an exact oracle, ranks included."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.functions.signatures import with_signatures
+    from fastdup_spark.operators.lsh import band_buckets
+    from fastdup_spark.plans.pipeline import search_corpus
+
+    cfg = PipelineConfig()
+    d = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    d = d.filter(norm != "")
+    sigs = with_signatures(d, cfg).select(
+        "doc_id", "minhash", "shingles").localCheckpoint(eager=True)
+    buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
+    queries = d.filter(F.col("doc_id") % 7 == 1).select(
+        F.col("doc_id").alias("query_id"), "text")
+    return search_corpus(queries, sigs, buckets, cfg, k=10,
+                         threshold=cfg.threshold, exclude_self=True)
+
+
 def q_minhash_lsh_dedup(spark, sf):
     """Full MinHash->LSH->verify->CC near-dup pipeline over documents."""
     from fastdup_spark.config import PipelineConfig
@@ -673,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         # core near-dup contract (oracle = brute-force exact Jaccard)
         "near_dup_pairs": q_near_dup_pairs,
+        "search_many": q_search_many,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1182,6 +1211,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = src
             JOIN sizes sb ON sb.doc_id = dst
             WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+        """,
+        "search_many": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT q.doc_id AS query_id, b.doc_id AS doc_id, count(*) AS icnt
+              FROM grams q JOIN grams b
+                ON q.g = b.g AND q.doc_id % 7 = 1 AND b.doc_id <> q.doc_id
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT i.query_id, i.doc_id,
+                     round(i.icnt * CAST(1.0 AS DOUBLE)
+                           / (sq.n + sb.n - i.icnt), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sq ON sq.doc_id = i.query_id
+              JOIN sizes sb ON sb.doc_id = i.doc_id
+              WHERE round(i.icnt * CAST(1.0 AS DOUBLE)
+                          / (sq.n + sb.n - i.icnt), 6) >= 0.85
+            )
+            SELECT query_id, doc_id, jaccard,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY jaccard DESC, doc_id) AS rank
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY jaccard DESC, doc_id) <= 10
         """,
         "pagerank": _pagerank_oracle_sql(),
         "kmeans_assignments": _kmeans_oracle_sql(),

@@ -79,6 +79,68 @@ def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
             "edges": edges, "assignments": asg}
 
 
+def search_corpus(queries: DataFrame, corpus_sigs: DataFrame,
+                  corpus_buckets: DataFrame, cfg: PipelineConfig,
+                  k: int = 10, threshold: float | None = None,
+                  exclude_self: bool = False,
+                  broadcast_queries: bool = True,
+                  id_col: str = "query_id", text_col: str = "text") -> DataFrame:
+    """Set-vs-corpus search (the reference's search run mode is inherently
+    set-vs-set: every query row lands in one search.csv,
+    /root/reference/fastdup/__init__.py:2162-2238, RUN.md:189-192).
+
+    Signatures the WHOLE query DataFrame in one pandas-UDF pass, band-joins
+    the corpus bucket index once, verifies exact Jaccard per (query,
+    candidate), and ranks top-k per query — one distributed job for the
+    entire query set instead of a driver round-trip per query.
+
+    ``queries``: (query_id, text). ``corpus_sigs``: (doc_id, shingles).
+    ``corpus_buckets``: (doc_id, band_id, bucket) — the persisted index
+    (salt column, if present, is ignored: salting only matters for the
+    corpus self-join). ``broadcast_queries`` hints the band join; disable
+    for query sets too large to broadcast (the join then shuffles on
+    (band_id, bucket), which is the right plan for set-vs-set scale).
+
+    Returns (query_id, doc_id, jaccard, rank) with rank = row_number per
+    query by (jaccard desc, doc_id) — deterministic. ``threshold`` filters
+    before ranking (the >= cfg.threshold regime is where LSH candidate
+    generation is exhaustive, so results are brute-force-exact there).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(text_col).alias("text"))
+    qsig = with_signatures(q, cfg).select(
+        "query_id", "minhash", "shingles").localCheckpoint(eager=True)
+    qb = band_buckets(qsig, cfg.lsh_bands, cfg.lsh_rows, id_col="query_id") \
+        .select(F.col("doc_id").alias("query_id"), "band_id", "bucket")
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    cand = (
+        corpus_buckets.select("doc_id", "band_id", "bucket")
+        .join(qb, ["band_id", "bucket"])
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("doc_id"))
+    qsh = qsig.select("query_id", F.col("shingles").alias("q_sh"))
+    scored = (
+        cand
+        .join(corpus_sigs.select("doc_id", "shingles"), "doc_id")
+        .join(F.broadcast(qsh) if broadcast_queries else qsh, "query_id")
+        .withColumn("jaccard", F.round(
+            exact_jaccard_expr(F.col("shingles"), F.col("q_sh")), 6))
+        .select("query_id", "doc_id", "jaccard")
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("jaccard") >= threshold)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 class FastdupSpark:
     """create(work_dir) -> run(pages) -> query results (fastdup v1 API shape)."""
 
@@ -539,6 +601,29 @@ class FastdupSpark:
         sim = self.similarity()
         host = lambda c: F.regexp_extract(c, r"https?://([^/]+)/", 1)  # noqa: E731
         return sim.filter(host(F.col("url_from")) != host(F.col("url_to")))
+
+    def search_many(self, queries: DataFrame, k: int = 10,
+                    threshold: float | None = None,
+                    id_col: str = "query_id", text_col: str = "text",
+                    broadcast_queries: bool = True) -> DataFrame:
+        """≈ the reference's search run mode over a whole query set
+        (/root/reference/fastdup/__init__.py:2162-2238: search.csv holds all
+        query rows): probe the persisted bucket index with every query in
+        ONE job — signature pass, band join, exact-Jaccard verify, top-k
+        rank per query — instead of one driver round-trip per query.
+        Returns (query_id, doc_id, url, jaccard, rank)."""
+        res = search_corpus(
+            queries,
+            self.store.read(self.spark, "signatures").select("doc_id", "shingles"),
+            self.store.read(self.spark, "buckets"),
+            self.config, k=k, threshold=threshold,
+            id_col=id_col, text_col=text_col,
+            broadcast_queries=broadcast_queries)
+        return (
+            res.join(self.docs().select("doc_id", "url"), "doc_id")
+            .select("query_id", "doc_id", "url", "jaccard", "rank")
+            .orderBy("query_id", "rank")
+        )
 
     def search(self, query_text: str, k: int = 10) -> DataFrame:
         """≈ fd.search(): probe the persisted bucket index with one query doc.

@@ -120,6 +120,31 @@ def test_knn_truncation_contract(fd):
     assert all(1 <= r["rank"] <= fd.config.knn_k for r in ranks)
 
 
+def test_search_many_matches_per_query_search(fd, data):
+    """Round-2 verdict item #3: the batched set-vs-corpus probe must return
+    exactly what per-query fd.search() returns, query by query — same
+    candidates (same band join), same exact-Jaccard verify, same top-k."""
+    texts = dict(zip(data.pages["url"], data.pages["text"]))
+    tp = data.truth_pairs
+    qurls = list(tp[tp.kind == "exact"].src_url[:3]) + \
+        list(tp[tp.kind == "near"].src_url[:2])
+    queries = fd.spark.createDataFrame(
+        [(i, texts[u]) for i, u in enumerate(qurls)],
+        "query_id long, text string")
+    batched = fd.search_many(queries, k=5).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["jaccard"]))
+    for qid, url in enumerate(qurls):
+        single = fd.search(texts[url], k=5).collect()
+        want = [(i + 1, r["doc_id"], round(r["jaccard"], 6))
+                for i, r in enumerate(single)]
+        got = sorted(by_q.get(qid, []))
+        got = [(rk, d, round(j, 6)) for rk, d, j in got]
+        assert got == want, f"query {qid} ({url})"
+
+
 def test_search_long_query_doc(fd):
     """A ~20k-token query must not blow up the plan (query shingles ride as
     a broadcast 1-row relation, not a literal expression tree)."""
