@@ -412,9 +412,27 @@ class FastdupSpark:
              .orderBy("doc_id", "rank")
         )
 
-    def outliers(self) -> DataFrame:
-        """≈ fd.outliers(): bottom-percentile docs with their best neighbor (W1)."""
+    def outliers(self, how: str = "one") -> DataFrame:
+        """≈ fd.outliers(): bottom-percentile docs with their best neighbor
+        (W1). how='all' adds the reference's anti-join refinement
+        (/root/reference/fastdup/galleries.py:594-613): drop any outlier
+        whose doc also carries a similarity edge at or above the MEAN edge
+        strength — keeping only docs that are outliers from *every* angle.
+        The mean is a scalar aggregate; membership is a left-anti join."""
+        if how not in ("one", "all"):
+            raise ValueError(f"how must be 'one' or 'all', got {how!r}")
         out = self.store.read(self.spark, "outliers")
+        if how == "all":
+            sim = self.store.read(self.spark, "similarity")
+            mean_j = sim.agg(F.avg("jaccard")).first()[0]
+            if mean_j is not None:
+                strong = sim.filter(F.col("jaccard") >= mean_j)
+                members = (
+                    strong.select(F.col("src").alias("doc_id"))
+                    .unionByName(strong.select(F.col("dst").alias("doc_id")))
+                    .distinct()
+                )
+                out = out.join(members, "doc_id", "left_anti")
         cat = self.docs().select("doc_id", "url")
         return out.join(cat, "doc_id").orderBy("best_sim", "doc_id")
 
@@ -428,16 +446,35 @@ class FastdupSpark:
         return df.join(self.docs().select("doc_id", "url"), "doc_id")
 
     def components_grouped(self, min_size: int = 2, sort_by: str = "count",
-                           ascending: bool = False, limit: int | None = None) -> DataFrame:
+                           ascending: bool = False, limit: int | None = None,
+                           max_members: int = 1000) -> DataFrame:
         """≈ fd.connected_components_grouped() / find_top_components (A1+T3):
-        one row per component with member lists + aggregates."""
+        one row per component with member lists + aggregates. Member arrays
+        are capped at ``max_members`` (first N in sorted order) while
+        ``count`` stays the TRUE size — an unbounded collect_list would make
+        one mega-component row OOM-sized at scale (the reference galleries
+        also head-limit displayed members, galleries.py find_top_components)."""
+        from pyspark.sql import Window
         df = self.components(include_singletons=(min_size <= 1))
+        # cap BEFORE the aggregation (row_number per component), so the
+        # collect_list never holds more than max_members elements per group —
+        # slicing after collect would still materialize the mega-array
+        w_u = Window.partitionBy("component_id").orderBy("url")
+        w_d = Window.partitionBy("component_id").orderBy("doc_id")
+        pre = (
+            df.withColumn("_ru", F.row_number().over(w_u))
+              .withColumn("_rd", F.row_number().over(w_d))
+        )
         grouped = (
-            df.groupBy("component_id")
+            pre.groupBy("component_id")
             .agg(
                 F.count("*").alias("count"),
-                F.sort_array(F.collect_list("url")).alias("urls"),
-                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_ru") <= max_members, F.col("url"))
+                )).alias("urls"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_rd") <= max_members, F.col("doc_id"))
+                )).alias("doc_ids"),
             )
             .filter(F.col("count") >= min_size)
         )
@@ -561,6 +598,48 @@ class FastdupSpark:
             .filter("rn = 1")
             .select("component_id", "doc_id", "url", "tile")
         )
+
+    def kmeans(self, k: int = 8, n_iter: int = 2,
+               force: bool = False) -> dict[str, DataFrame]:
+        """≈ the reference's kmeans run mode over its OWN features
+        (/root/reference/fastdup/__init__.py:2681-2744; sinks
+        kmeans_centroids.csv / kmeans_assignments.csv,
+        definitions.py:17,19): deterministic Lloyd's over the pipeline's
+        doc_stats metric vectors, persisted as the resume-skippable
+        `kmeans_assignments` / `kmeans_centroids` stage tables. A rerun
+        with the same (k, n_iter) under the same config skips; changed
+        params or force=True recompute."""
+        from fastdup_spark.operators.kmeans import kmeans_fit
+
+        params = {"k": k, "n_iter": n_iter, "features": "doc_stats"}
+
+        def _complete(stage: str) -> bool:
+            if force or not self.config.resume or \
+                    not self.store.is_complete(stage, self._chash):
+                return False
+            m = self.store.read_marker(stage)
+            return bool(m) and all(
+                m.get("counters", {}).get(kk) == vv for kk, vv in params.items())
+
+        if not (_complete("kmeans_assignments") and _complete("kmeans_centroids")):
+            st = self.store.read(self.spark, "doc_stats")
+            feat_cols = ["n_chars", "n_tokens", "n_lines",
+                         "distinct_token_ratio", "repeated_line_ratio",
+                         "digit_ratio", "punct_ratio", "avg_token_len"]
+            vecs = st.select(
+                "doc_id",
+                F.array(*[F.col(c).cast("double") for c in feat_cols])
+                .alias("features"))
+            res = kmeans_fit(vecs, k=k, n_iter=n_iter,
+                             id_col="doc_id", vec_col="features")
+            self.store.write(res["assignments"], "kmeans_assignments",
+                             self._chash, counters=params)
+            self.store.write(res["centroids"], "kmeans_centroids",
+                             self._chash, counters=params)
+        return {
+            "assignments": self.store.read(self.spark, "kmeans_assignments"),
+            "centroids": self.store.read(self.spark, "kmeans_centroids"),
+        }
 
     # ------------------------------------------------------------ embeddings
     def build_embedding_index(self, embeddings: DataFrame, n_planes: int = 8,

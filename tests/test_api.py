@@ -43,6 +43,37 @@ def test_components_grouped_contract(fd):
         assert r["urls"] == sorted(r["urls"])
 
 
+def test_components_grouped_member_cap(spark, tmp_path):
+    """Round-2 verdict item #6: a planted 10k-member clique must yield a
+    capped member array (first max_members in sorted order) while `count`
+    stays the true size — one mega-component must not OOM a row."""
+    from fastdup_spark import FastdupSpark
+
+    fd_ = FastdupSpark(spark, str(tmp_path / "w"))
+    ch = fd_.config.config_hash()
+    n = 10_000
+    ext = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("https://h/%05d", "id").alias("url"),
+        F.lit("2024-01-01 00:00:00").alias("warc_ts"),
+        F.lit("en").alias("lang"), F.lit("t").alias("text"),
+        F.lit("").alias("error_code"), F.lit(True).alias("is_valid"))
+    fd_.store.write(ext, "extracted", ch)
+    asg = spark.range(n).select(F.col("id").alias("doc_id"),
+                                F.lit(0).alias("component_id"))
+    fd_.store.write(asg, "assignments", ch)
+    fd_.store.write(
+        spark.createDataFrame([(0, n)], "component_id long, count long"),
+        "component_info", ch)
+
+    row = fd_.components_grouped(max_members=100).collect()[0]
+    assert row["count"] == n
+    assert len(row["urls"]) == 100 and len(row["doc_ids"]) == 100
+    assert row["urls"] == sorted(row["urls"])
+    assert row["urls"][0] == "https://h/00000"
+    assert row["doc_ids"] == list(range(100))
+
+
 def test_duplicates_decision_table(fd):
     dups = fd.duplicates()
     asg = fd.store.read(fd.spark, "assignments")

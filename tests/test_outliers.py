@@ -62,6 +62,35 @@ def test_rank_plan_has_no_unpartitioned_window(spark):
         assert "_pid" in spec.split(",")[0], plan
 
 
+def test_outliers_how_all_anti_join(spark, tmp_path):
+    """how='all' (reference galleries.py:594-613): outliers carrying an
+    above-MEAN similarity edge are dropped; below-mean edges don't disqualify.
+    Crafted stage tables where the two modes provably differ."""
+    from fastdup_spark import FastdupSpark
+
+    fd_ = FastdupSpark(spark, str(tmp_path / "w"))
+    ch = fd_.config.config_hash()
+    ext = spark.createDataFrame(
+        [(i, f"https://h{i}.example/x", "2024-01-01 00:00:00", "en",
+          f"text {i}", "", True) for i in (1, 2, 3, 4, 5)],
+        "doc_id long, url string, warc_ts string, lang string, "
+        "text string, error_code string, is_valid boolean")
+    fd_.store.write(ext, "extracted", ch)
+    # mean jaccard = 0.7: edge (1,2) is above-mean, (3,4) below
+    sim = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.5)], "src long, dst long, jaccard double")
+    fd_.store.write(sim, "similarity", ch)
+    out = spark.createDataFrame(
+        [(1, 0.9, 2), (3, 0.5, 4), (5, 0.0, None)],
+        "doc_id long, best_sim double, best_nn long")
+    fd_.store.write(out, "outliers", ch)
+
+    one = {r["doc_id"] for r in fd_.outliers(how="one").collect()}
+    allm = {r["doc_id"] for r in fd_.outliers(how="all").collect()}
+    assert one == {1, 3, 5}
+    assert allm == {3, 5}  # doc 1 has an above-mean edge -> dropped
+
+
 def test_descending_and_zero_k(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(50)],
                                "doc_id long, v double")
