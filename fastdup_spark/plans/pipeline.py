@@ -39,7 +39,7 @@ from fastdup_spark.plans.store import StageStore
 
 STAGES = ["extracted", "doc_stats", "signatures", "buckets",
           "candidates", "pairs_scored", "similarity", "knn", "containment",
-          "assignments", "component_info", "outliers"]
+          "assignments", "component_info", "best_nn", "outliers"]
 
 
 def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
@@ -197,10 +197,35 @@ class FastdupSpark:
         # Spark schedules concurrent jobs onto the same executor pool, so one
         # stage's serial driver overhead (planning, commit, marker IO)
         # overlaps another's compute — on a real cluster this is what keeps
-        # 1000 executors busy between stage boundaries.
+        # 1000 executors busy between stage boundaries. The pool lives
+        # inside one try/finally so any stage failure still drains in-flight
+        # writes before the error propagates (no orphaned non-daemon threads).
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            self._run_stages(pool, docs, cfg, done)
+        finally:
+            pool.shutdown(wait=True)
 
+        # --- summary + manifest (ref: config.json + summary()) ---
+        # scalar counts come from the stage markers — no table re-scans
+        counts = self.store.read_json("extract_counts") or {}
+        n_valid = counts.get("valid", 0)
+        n_bad = counts.get("bad", 0)
+        summ = summary_stats(
+            n_pages=n_valid + n_bad, n_valid=n_valid, n_quarantined=n_bad,
+            component_info=self.store.read(self.spark, "component_info"),
+            n_pairs=self.store.read_marker("similarity")["rows"],
+            n_outliers=self.store.read_marker("outliers")["rows"],
+        )
+        manifest = {"config": self.config.to_dict(), "config_hash": self._chash,
+                    "summary": summ}
+        self.store.write_json(manifest, "run_manifest")
+        return summ
+
+    def _run_stages(self, pool, docs, cfg, done) -> None:
+        """Stages 2-7 (everything between extract and the manifest), sharing
+        one driver thread pool for concurrent stage submission."""
         # --- stage 2: per-doc stats (ref: atrain_stats.csv) ---
         # independent of the signature path -> runs alongside stages 3-5
         def _doc_stats():
@@ -336,36 +361,23 @@ class FastdupSpark:
 
         def _outliers():
             # --- stage 7: outliers (ref: bottom 5% NN distance) ---
+            # best_nn persists as its own stage so incremental updates can
+            # re-derive it only for docs touched by new edges (anti-join)
+            # instead of windowing the full pair table per batch
+            if not done("best_nn"):
+                bn = best_neighbor(docs, scored, sim_col="jaccard")
+                self.store.write(bn, "best_nn", self._chash)
             if not done("outliers"):
                 n_docs = (self.store.read_json("extract_counts") or {}).get("valid")
-                bn = best_neighbor(docs, scored, sim_col="jaccard")
+                bn = self.store.read(self.spark, "best_nn")
                 out = outliers_by_percentile(bn, cfg.outlier_pct, n=n_docs)
                 self.store.write(out, "outliers", self._chash)
 
         futs = [pool.submit(f) for f in
                 (_similarity_knn, _containment, _components, _outliers)]
         futs.append(doc_stats_fut)
-        try:
-            for f in futs:
-                f.result()
-        finally:
-            pool.shutdown(wait=True)
-
-        # --- summary + manifest (ref: config.json + summary()) ---
-        # scalar counts come from the stage markers — no table re-scans
-        counts = self.store.read_json("extract_counts") or {}
-        n_valid = counts.get("valid", 0)
-        n_bad = counts.get("bad", 0)
-        summ = summary_stats(
-            n_pages=n_valid + n_bad, n_valid=n_valid, n_quarantined=n_bad,
-            component_info=self.store.read(self.spark, "component_info"),
-            n_pairs=self.store.read_marker("similarity")["rows"],
-            n_outliers=self.store.read_marker("outliers")["rows"],
-        )
-        manifest = {"config": self.config.to_dict(), "config_hash": self._chash,
-                    "summary": summ}
-        self.store.write_json(manifest, "run_manifest")
-        return summ
+        for f in futs:
+            f.result()
 
     # -------------------------------------------------------- query surface
     def docs(self) -> DataFrame:

@@ -10,10 +10,11 @@ new WARC pages, keyed by a `warc_ts` high-water mark:
     index (so new docs pair with both old and new docs) — the same plan a
     Structured Streaming foreachBatch sink would run;
   * verify on the new pairs only (append to pairs_scored/similarity);
-  * connected components / knn / outliers re-resolved globally over the edge
-    table (edges are tiny relative to the corpus; at 10^12-doc scale this
-    global step is the documented cost of exact cluster semantics under
-    insertion).
+  * knn / best_nn re-derived ONLY for docs incident to the batch's new
+    edges (plus the new docs) — unaffected rows carry over via anti-join;
+  * connected components re-resolved globally over the edge table (edges
+    are tiny relative to the corpus; at 10^12-doc scale this global step is
+    the documented cost of exact cluster semantics under insertion).
 
 Crash-safety model (exactly-once per batch):
   * `extracted` is appended LAST. Batch membership is decided by an anti-join
@@ -49,11 +50,11 @@ def high_water_mark(docs: DataFrame, ts_col: str = "warc_ts"):
 def incremental_update(fd, new_pages: DataFrame) -> dict:
     """Ingest a new batch of pages into an existing FastdupSpark work_dir.
 
-    Only rows with warc_ts strictly greater than the current high-water mark
-    are processed. The mark is computed over ALL ingested rows (valid AND
-    quarantined) so redelivered bad rows can't be double-counted; per-stage
-    anti-joins make replays of partially-applied batches repair themselves
-    (see module docstring).
+    Idempotency comes from the doc_id anti-join against `extracted` (the
+    last-appended table): redelivered rows — valid AND quarantined — drop
+    out of the batch. The warc_ts high-water mark is REPORTING-ONLY (see
+    the NOTE at the filter site); per-stage anti-joins make replays of
+    partially-applied batches repair themselves (see module docstring).
     """
     cfg = fd.config
     spark = fd.spark
@@ -86,9 +87,11 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         lineage = store._parquet_lineage(store.table_path("extracted"))
         actual_rows = sum(x["rows"] for x in lineage)
         marker = store.read_marker("extracted") or {}
+        touched = 0
         if marker.get("rows") != actual_rows:
-            _finalize_bookkeeping(fd, n_appended_pairs=0)
-        return {"new_docs": 0, "new_pairs": 0, "hwm": str(hwm)}
+            touched = _finalize_bookkeeping(fd, n_appended_pairs=0)
+        return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
+                "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
 
     new_sigs = with_signatures(new_docs, cfg).select(
@@ -199,18 +202,51 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     ).unionByName(new_bad)
     _append(new_extracted, "extracted", partition_by=["is_valid"])
 
-    _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs))
+    # docs whose neighbor state can have changed: endpoints of this batch's
+    # scored pairs plus every new doc (new docs need best_nn/knn rows even
+    # with zero edges) — the knn/outlier tail re-derives ONLY these
+    affected = (
+        scored_new.select(F.col("src").alias("doc_id"))
+        .unionByName(scored_new.select(F.col("dst").alias("doc_id")))
+        .unionByName(new_docs.select("doc_id"))
+        .distinct()
+    )
+    touched = _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs),
+                                    affected=affected)
 
     return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
+            "touched_docs": touched,
             "hwm": str(high_water_mark(store.read(spark, "extracted")))}
 
 
-def _finalize_bookkeeping(fd, n_appended_pairs: int = 0) -> None:
+def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:
+    return df.join(ids.withColumnRenamed("doc_id", col), col, "left_semi")
+
+
+def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
+                          affected: DataFrame | None = None) -> int:
     """Post-append bookkeeping: counts, markers, derived tables, manifest.
 
     extract_counts is DERIVED from the extracted table's parquet footers
     (ground truth) rather than incremented, so a replay healing a crashed
-    batch recounts correctly instead of compounding the drift."""
+    batch recounts correctly instead of compounding the drift.
+
+    ``affected`` (doc_ids incident to this batch's new pairs, plus the new
+    docs) scopes the knn/best_nn re-derivation to the touched neighborhood:
+    unaffected docs' edge sets are unchanged by construction (every new
+    edge's BOTH endpoints are in the affected set), so their knn/best_nn
+    rows carry over via anti-join. CC re-resolves globally (exact cluster
+    semantics under insertion). ``affected=None`` — the crash-heal path,
+    or a store without a best_nn stage yet — recomputes everything. The
+    full-table rewrite of the carried-over rows is a parquet-store
+    limitation; on Iceberg the same plan is a MERGE on the affected set.
+
+    The `extracted` marker refreshes LAST: if a crash interrupts the
+    derived-table writes, the stale marker keeps tripping the
+    rows-vs-footers heal check on the next (even fully-redelivered) batch.
+
+    Returns the number of touched docs (== total docs on the full path).
+    """
     spark = fd.spark
     store = fd.store
     cfg = fd.config
@@ -222,25 +258,61 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0) -> None:
     store.write_json(counts, "extract_counts")
 
     # markers regenerated from footers so rows/lineage stay truthful
-    for stage in ("extracted", "doc_stats", "signatures", "buckets",
+    # (`extracted` deliberately NOT here — it refreshes last, see docstring)
+    for stage in ("doc_stats", "signatures", "buckets",
                   "pairs_scored", "similarity", "containment"):
         store.refresh_marker(stage, fd._chash)
 
-    # --- global re-resolution over the (small) edge/graph tables ---
     from fastdup_spark.operators.knn import knn_truncate
-    store.write(knn_truncate(store.read(spark, "similarity"), cfg.knn_k),
-                "knn", fd._chash, counters={"k": cfg.knn_k})
+    from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
     scored_all = store.read(spark, "pairs_scored")
-    edges = scored_all.filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+    sim_all = store.read(spark, "similarity")
     docs_all = fd.docs()
+    if affected is not None and store.read_marker("best_nn") is None:
+        affected = None  # pre-best_nn work dir: fall back to full rebuild
+
+    if affected is None:
+        touched = counts["valid"]
+        store.write(knn_truncate(sim_all, cfg.knn_k), "knn", fd._chash,
+                    counters={"k": cfg.knn_k})
+        bn = best_neighbor(docs_all, scored_all, sim_col="jaccard")
+    else:
+        aff = affected.localCheckpoint(eager=True)
+        touched = aff.count()
+        # knn rows for touched docs only: their full edge set is the
+        # semi-join of similarity on either endpoint
+        aff_sim = _semi(sim_all, aff, "src") \
+            .unionByName(_semi(sim_all, aff, "dst")) \
+            .dropDuplicates(["src", "dst"])
+        knn_aff = knn_truncate(aff_sim, cfg.knn_k) \
+            .join(aff, "doc_id", "left_semi")
+        new_knn = store.read(spark, "knn") \
+            .join(aff, "doc_id", "left_anti") \
+            .unionByName(knn_aff).localCheckpoint(eager=True)
+        store.write(new_knn, "knn", fd._chash, counters={"k": cfg.knn_k})
+        # best_nn likewise: recompute touched docs, carry the rest over
+        aff_pairs = _semi(scored_all, aff, "src") \
+            .unionByName(_semi(scored_all, aff, "dst")) \
+            .dropDuplicates(["src", "dst"])
+        bn_aff = best_neighbor(docs_all.join(aff, "doc_id", "left_semi"),
+                               aff_pairs, sim_col="jaccard")
+        bn = store.read(spark, "best_nn") \
+            .join(aff, "doc_id", "left_anti") \
+            .unionByName(bn_aff)
+
+    bn = bn.localCheckpoint(eager=True)
+    store.write(bn, "best_nn", fd._chash)
+    out = outliers_by_percentile(store.read(spark, "best_nn"),
+                                 cfg.outlier_pct,
+                                 n=counts["valid"])
+    store.write(out, "outliers", fd._chash)
+
+    # CC stays global: exact component semantics under insertion
+    edges = scored_all.filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     asg = connected_components(edges, vertices=docs_all.select("doc_id"))
     store.write(asg, "assignments", fd._chash)
     info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
     store.write(info, "component_info", fd._chash)
-    from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
-    bn = best_neighbor(docs_all, scored_all, sim_col="jaccard")
-    out = outliers_by_percentile(bn, cfg.outlier_pct, n=counts["valid"])
-    store.write(out, "outliers", fd._chash)
 
     # refresh run_manifest so summary() reflects post-update state
     from fastdup_spark.operators.stats import summary_stats
@@ -253,3 +325,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0) -> None:
     )
     store.write_json({"config": cfg.to_dict(), "config_hash": fd._chash,
                       "summary": summ}, "run_manifest")
+
+    # LAST: the heal tripwire (see docstring)
+    store.refresh_marker("extracted", fd._chash)
+    return int(touched)

@@ -12,8 +12,10 @@ source — swap the reader) and keep the dedup state continuously current:
 Each micro-batch flows through the same crash-repairing append path as
 `fd.update()` (extracted-last ordering + per-stage anti-joins), so the
 exactly-once story is identical whether batches arrive via update() calls or
-the stream. Watermarking is unnecessary: the warc_ts high-water mark inside
-incremental_update already ignores late/duplicate redeliveries.
+the stream. Watermarking is unnecessary: idempotency comes from the doc_id
+anti-join against `extracted` inside incremental_update, so late/duplicate
+redeliveries drop out of each batch (the warc_ts high-water mark is
+reporting-only).
 """
 
 from __future__ import annotations

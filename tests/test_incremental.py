@@ -42,6 +42,20 @@ def test_incremental_matches_full_run(spark, split_corpus, tmp_path):
     sb = {(r["src"], r["dst"]) for r in fd_full.store.read(spark, "similarity").collect()}
     assert sa == sb
 
+    # round-2 verdict item #7: the tail re-derived only the touched
+    # neighborhood (batch endpoints + new docs), not the whole corpus...
+    assert 0 < stats["touched_docs"] < fd_inc.docs().count()
+    # ...and the scoped update is EXACT: knn / best_nn / outliers all equal
+    # the from-scratch run's tables
+    for stage, cols in (("knn", ("doc_id", "nn", "rank")),
+                        ("best_nn", ("doc_id", "best_sim", "best_nn")),
+                        ("outliers", ("doc_id", "best_sim", "best_nn"))):
+        ta = {tuple(r[c] for c in cols)
+              for r in fd_inc.store.read(spark, stage).collect()}
+        tb = {tuple(r[c] for c in cols)
+              for r in fd_full.store.read(spark, stage).collect()}
+        assert ta == tb, f"scoped incremental {stage} diverged from full run"
+
 
 def test_replay_is_idempotent(spark, split_corpus, tmp_path):
     pages, old, new = split_corpus
