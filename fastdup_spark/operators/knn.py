@@ -90,16 +90,26 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 16,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    planes = _plane_sets(dim, n_planes, n_bands, seed)
-    flat = planes.transpose(1, 0, 2).reshape(dim, n_bands * n_planes)
+    # planes are generated lazily INSIDE the UDF from the first Arrow
+    # batch's width when ``dim`` is not passed — deterministic in
+    # (dim, n_planes, n_bands, seed) on every worker, and no eager
+    # ``.first()`` job runs before the bucket UDF (round-2 verdict item #8;
+    # callers with a persisted index pass dim from the marker)
+    flat0 = None
+    if dim is not None:
+        flat0 = _plane_sets(dim, n_planes, n_bands, seed) \
+            .transpose(1, 0, 2).reshape(dim, n_bands * n_planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def _buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        flat = flat0
         for batch in it:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+            if flat is None:
+                d = mat.shape[1]
+                flat = _plane_sets(d, n_planes, n_bands, seed) \
+                    .transpose(1, 0, 2).reshape(d, n_bands * n_planes)
             signs = (mat @ flat) > 0                       # (n, B*P)
             per_band = signs.reshape(len(batch), n_bands, n_planes) @ weights
             yield pd.Series(list(per_band))                # (n, B)

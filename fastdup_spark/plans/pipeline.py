@@ -667,9 +667,18 @@ class FastdupSpark:
         idx = hyperplane_buckets(embeddings, n_planes=n_planes,
                                  n_bands=n_bands, seed=seed,
                                  id_col=id_col, vec_col=vec_col)
-        self.store.write(idx, "emb_index", self._chash, counters={
+        self.store.write_table(idx, "emb_index")
+        # dim lands in the marker (read from ONE written row via pyarrow —
+        # driver-side, no Spark job) so probe paths can rebuild the exact
+        # plane sets and validate query width without touching the data
+        import pyarrow.dataset as pads
+        frag = pads.dataset(self.store.table_path("emb_index"),
+                            format="parquet")
+        batch = next(frag.to_batches(columns=[vec_col], batch_size=1))
+        dim = len(batch.column(0)[0])
+        self.store.refresh_marker("emb_index", self._chash, counters={
             "n_planes": n_planes, "n_bands": n_bands, "seed": seed,
-            "id_col": id_col, "vec_col": vec_col,
+            "id_col": id_col, "vec_col": vec_col, "dim": dim,
         })
 
     def vector_search(self, query_vec, k: int = 10) -> DataFrame:
@@ -681,6 +690,9 @@ class FastdupSpark:
         if marker is None:
             raise ValueError("no emb_index stage — call build_embedding_index first")
         c = marker["counters"]
+        if c.get("dim") is not None and len(query_vec) != c["dim"]:
+            raise ValueError(
+                f"query dim {len(query_vec)} != index dim {c['dim']}")
         idx = self.store.read(self.spark, "emb_index")
         return cosine_topk_lsh(idx, query_vec, n_planes=c["n_planes"],
                                n_bands=c["n_bands"], seed=c["seed"], k=k,

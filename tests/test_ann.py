@@ -92,6 +92,35 @@ def test_index_rows_per_vector(spark, emb):
     assert lo == hi == 4
 
 
+def test_hyperplane_buckets_submits_no_eager_job(spark, emb):
+    """Round-2 verdict item #8: building the bucket plan must not submit a
+    Spark job (the old dim-inference ran an eager .first()); planes are
+    generated lazily per worker, identically to a dim-given build."""
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy_probe", "hyperplane_buckets plan construction")
+    try:
+        lazy = hyperplane_buckets(emb.limit(30), n_planes=4, n_bands=2)
+        assert list(sc.statusTracker().getJobIdsForGroup("lazy_probe")) == []
+    finally:
+        sc.setJobGroup(None, None)
+    dim = len(emb.select("embedding").first()[0])
+    given = hyperplane_buckets(emb.limit(30), n_planes=4, n_bands=2, dim=dim)
+    a = {(r["vec_id"], r["band"], r["bucket"]) for r in lazy.collect()}
+    b = {(r["vec_id"], r["band"], r["bucket"]) for r in given.collect()}
+    assert a == b
+
+
+def test_emb_index_marker_carries_dim(spark, emb, tmp_path):
+    from fastdup_spark import FastdupSpark
+
+    fd = FastdupSpark(spark, str(tmp_path / "dim"))
+    fd.build_embedding_index(emb.limit(40))
+    m = fd.store.read_marker("emb_index")
+    assert m["counters"]["dim"] == len(emb.select("embedding").first()[0])
+    with pytest.raises(ValueError, match="dim"):
+        fd.vector_search([0.0, 1.0], k=3)
+
+
 def test_fd_vector_search_roundtrip(spark, emb, tmp_path):
     """build_embedding_index -> vector_search: a perturbed copy of a stored
     vector retrieves its source at rank 1 (fd.vector_search analog,

@@ -79,3 +79,21 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n >= 0
     assert set(df.columns) == {"component_id", "count", "min_doc_id"}
+
+
+def test_doc_counts_match_registry():
+    """Stop the coverage-count drift (round-2 verdict item #9): the 'NN
+    queries, MM oracle-checked' claims in SURVEY §8 and COVERAGE.md must
+    equal the live registry."""
+    import re
+
+    n_q, n_o = len(entrymod.queries()), len(entrymod.oracle_sql())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for doc in ("SURVEY.md", "COVERAGE.md"):
+        text = open(os.path.join(root, doc), encoding="utf-8").read()
+        claims = re.findall(r"(\d+)\s+queries,\s*\**(\d+)\** oracle-checked",
+                            text)
+        assert claims, f"{doc} lost its 'N queries, M oracle-checked' line"
+        for q, o in claims:
+            assert (int(q), int(o)) == (n_q, n_o), (
+                f"{doc} claims {q}/{o}, registry has {n_q}/{n_o}")
