@@ -571,11 +571,20 @@ def q_search_many(spark, sf):
 
 
 def q_minhash_lsh_dedup(spark, sf):
-    """Full MinHash->LSH->verify->CC near-dup pipeline over documents."""
+    """Full MinHash->LSH->verify->CC near-dup pipeline over documents —
+    now ORACLE-CHECKED end-to-end (was rows-only): DuckDB recomputes the
+    brute-force exact-Jaccard edge set (same CTEs as near_dup_pairs) and
+    resolves components with a recursive label-flood CTE; component_id =
+    min doc_id on both engines (operators/cc.py determinism contract).
+    Docs with empty NORMALIZED text are excluded on both sides (the
+    oracle's gram model is undefined for them, as in near_dup_pairs)."""
     from fastdup_spark.config import PipelineConfig
     from fastdup_spark.plans.pipeline import near_dup_pipeline
 
     docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
     res = near_dup_pipeline(docs, PipelineConfig())
     return (
         res["assignments"].groupBy("component_id")
@@ -1223,6 +1232,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = src
             JOIN sizes sb ON sb.doc_id = dst
             WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+        """,
+        "minhash_lsh_dedup": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT src, dst FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            )
+            SELECT component_id, count(*) AS count
+            FROM comp GROUP BY component_id
+            HAVING count(*) >= 2
         """,
         "search_many": r"""
             WITH toks AS (

@@ -22,8 +22,16 @@ trajectory with unrolled CTEs (__spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this many k*dim expression leaves, the literal-array assignment plan
+# (one F.array literal per centroid) stops being a plan and starts being a
+# problem — switch to the Arrow path with a numpy centroid matrix riding in
+# the UDF closure (serialized once per worker, not per plan node).
+_ASSIGN_LITERAL_MAX = 65_536
 
 
 def _sq_dist(vec, centroid_lits):
@@ -34,6 +42,40 @@ def _sq_dist(vec, centroid_lits):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _assign_arrow(vecs: DataFrame, centroids: dict[int, list[float]],
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Large-k assignment: centroid matrix in the UDF closure, one
+    elementwise pass per centroid (no (n,k,dim) intermediate). Strict `<`
+    update keeps the FIRST minimum — same ties-to-lowest-label rule as the
+    literal path (labels iterate in sorted order). Roundoff order differs
+    from the JVM expression path, so exact-replay oracles keep using the
+    literal path (k*dim below _ASSIGN_LITERAL_MAX)."""
+    from pyspark.sql.functions import pandas_udf
+
+    labels = sorted(centroids)
+    cmat = np.asarray([centroids[l] for l in labels], dtype=np.float64)
+    lab = np.asarray(labels, dtype=np.int64)
+
+    @pandas_udf("cluster bigint, dist double")
+    def _arg(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        best_d = np.full(len(mat), np.inf)
+        best_j = np.zeros(len(mat), dtype=np.int64)
+        for j in range(cmat.shape[0]):
+            dj = np.square(mat - cmat[j]).sum(axis=1)
+            upd = dj < best_d
+            best_d[upd] = dj[upd]
+            best_j[upd] = j
+        return pd.DataFrame({"cluster": lab[best_j], "dist": best_d})
+
+    return (
+        vecs.withColumn("_a", _arg(F.col(vec_col)))
+        .select(id_col, vec_col,
+                F.col("_a.cluster").alias("cluster"),
+                F.col("_a.dist").alias("dist"))
+    )
+
+
 def _assign(vecs: DataFrame, centroids: dict[int, list[float]],
             id_col: str, vec_col: str) -> DataFrame:
     """(id, vec, cluster, dist): argmin over the broadcast centroids.
@@ -41,6 +83,9 @@ def _assign(vecs: DataFrame, centroids: dict[int, list[float]],
     Labels are sorted so array_position's first-match rule == "ties to the
     lowest cluster label" (the oracle's ORDER BY d, cluster)."""
     labels = sorted(centroids)
+    dim = len(next(iter(centroids.values()))) if centroids else 0
+    if len(labels) * dim > _ASSIGN_LITERAL_MAX:
+        return _assign_arrow(vecs, centroids, id_col, vec_col)
     dists = F.array(*[_sq_dist(F.col(vec_col), centroids[l]) for l in labels])
     label_arr = F.array(*[F.lit(int(l)) for l in labels])
     return (

@@ -54,3 +54,34 @@ def test_distance_is_to_own_centroid(spark, res):
              F.lit(0.0), lambda a, x: a + x), 4)))
     bad = j.filter(F.abs(F.col("d2") - F.col("distance")) > 1e-6).count()
     assert bad == 0
+
+
+def test_arrow_assign_matches_literal_path(spark):
+    """Large-k assignment (numpy matrix in the UDF closure) must agree with
+    the literal-expression path on well-separated data — same clusters,
+    same ties-to-lowest-label rule."""
+    import numpy as np
+
+    from fastdup_spark.operators.kmeans import _assign, _assign_arrow
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    centers = {j: list(rng.standard_normal(6) * 10) for j in range(5)}
+    rows = []
+    for i in range(200):
+        j = i % 5
+        v = np.asarray(centers[j]) + 0.01 * rng.standard_normal(6)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lit = _assign(vecs, centers, "vec_id", "embedding") \
+        .select("vec_id", "cluster").collect()
+    arw = _assign_arrow(vecs, centers, "vec_id", "embedding") \
+        .select("vec_id", "cluster").collect()
+    assert {(r["vec_id"], r["cluster"]) for r in lit} == \
+        {(r["vec_id"], r["cluster"]) for r in arw}
+    # tie case: equidistant point goes to the LOWEST label on both paths
+    tie = spark.createDataFrame([(0, [0.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    tc = {3: [1.0, 0.0], 7: [-1.0, 0.0]}
+    assert _assign(tie, tc, "vec_id", "embedding").first()["cluster"] == 3
+    assert _assign_arrow(tie, tc, "vec_id", "embedding").first()["cluster"] == 3
