@@ -12,9 +12,13 @@ new WARC pages, keyed by a `warc_ts` high-water mark:
   * verify on the new pairs only (append to pairs_scored/similarity);
   * knn / best_nn re-derived ONLY for docs incident to the batch's new
     edges (plus the new docs) — unaffected rows carry over via anti-join;
-  * connected components re-resolved globally over the edge table (edges
-    are tiny relative to the corpus; at 10^12-doc scale this global step is
-    the documented cost of exact cluster semantics under insertion).
+  * connected components resolved by CONTRACTION: batches only ever ADD
+    edges, so merging is monotone — map the new edges' endpoints to their
+    existing component labels, run CC on that tiny component-level graph,
+    and relabel the assignments table through the (broadcast-sized) merge
+    map. Component labels are min-doc_ids, so the min over merged
+    components is exactly the label a from-scratch run would produce.
+    The crash-heal path still re-resolves globally from pairs_scored.
 
 Crash-safety model (exactly-once per batch):
   * `extracted` is appended LAST. Batch membership is decided by an anti-join
@@ -211,8 +215,11 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         .unionByName(new_docs.select("doc_id"))
         .distinct()
     )
+    new_cc_edges = scored_new.filter(
+        F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     touched = _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs),
-                                    affected=affected)
+                                    affected=affected,
+                                    new_cc_edges=new_cc_edges)
 
     return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
             "touched_docs": touched,
@@ -224,7 +231,8 @@ def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:
 
 
 def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
-                          affected: DataFrame | None = None) -> int:
+                          affected: DataFrame | None = None,
+                          new_cc_edges: DataFrame | None = None) -> int:
     """Post-append bookkeeping: counts, markers, derived tables, manifest.
 
     extract_counts is DERIVED from the extracted table's parquet footers
@@ -235,8 +243,9 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     docs) scopes the knn/best_nn re-derivation to the touched neighborhood:
     unaffected docs' edge sets are unchanged by construction (every new
     edge's BOTH endpoints are in the affected set), so their knn/best_nn
-    rows carry over via anti-join. CC re-resolves globally (exact cluster
-    semantics under insertion). ``affected=None`` — the crash-heal path,
+    rows carry over via anti-join. CC resolves by component-graph
+    contraction over ``new_cc_edges`` (exact — edge insertion is
+    monotone). ``affected=None`` — the crash-heal path,
     or a store without a best_nn stage yet — recomputes everything. The
     full-table rewrite of the carried-over rows is a parquet-store
     limitation; on Iceberg the same plan is a MERGE on the affected set.
@@ -307,9 +316,45 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                                  n=counts["valid"])
     store.write(out, "outliers", fd._chash)
 
-    # CC stays global: exact component semantics under insertion
-    edges = scored_all.filter(F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
-    asg = connected_components(edges, vertices=docs_all.select("doc_id"))
+    # CC by contraction (exact — see module docstring): only the affected
+    # component-level graph is iterated; the heal path resolves globally
+    if affected is None or new_cc_edges is None \
+            or store.read_marker("assignments") is None:
+        edges = scored_all.filter(
+            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+        asg = connected_components(edges, vertices=docs_all.select("doc_id"))
+    else:
+        old_asg = store.read(spark, "assignments")
+        # endpoints -> existing component labels (new docs: own id)
+        lab = old_asg.select(F.col("doc_id"), F.col("component_id"))
+        comp_edges = (
+            new_cc_edges
+            .join(lab.select(F.col("doc_id").alias("src"),
+                             F.col("component_id").alias("ca")), "src", "left")
+            .join(lab.select(F.col("doc_id").alias("dst"),
+                             F.col("component_id").alias("cb")), "dst", "left")
+            .select(F.coalesce("ca", F.col("src")).alias("src"),
+                    F.coalesce("cb", F.col("dst")).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # CC over the component graph: nodes are component labels
+        # (min-doc_ids), so merged labels come out as the global min —
+        # identical to a from-scratch resolve. The merge map is
+        # affected-components-sized -> broadcast relabel join.
+        merge_map = connected_components(comp_edges).select(
+            F.col("doc_id").alias("component_id"),
+            F.col("component_id").alias("_new_comp"))
+        new_doc_rows = docs_all.select("doc_id") \
+            .join(old_asg.select("doc_id"), "doc_id", "left_anti") \
+            .select("doc_id", F.col("doc_id").alias("component_id"))
+        asg = (
+            old_asg.unionByName(new_doc_rows)
+            .join(F.broadcast(merge_map), "component_id", "left")
+            .select("doc_id",
+                    F.coalesce("_new_comp", F.col("component_id"))
+                    .alias("component_id"))
+            .localCheckpoint(eager=True)  # pin before overwriting the source table
+        )
     store.write(asg, "assignments", fd._chash)
     info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
     store.write(info, "component_info", fd._chash)
