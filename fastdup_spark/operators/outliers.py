@@ -51,6 +51,11 @@ _RANK_ROWS_PER_PART = 2_000_000
 _RANK_MAX_PARTS = 4096
 
 
+def _rank_parts(n_pruned: int) -> int:
+    return max(1, min(_RANK_MAX_PARTS,
+                      -(-max(n_pruned, 1) // _RANK_ROWS_PER_PART)))
+
+
 def _locally_ranked(pruned: DataFrame, n_pruned: int, sort_col: str,
                     id_col: str, ascending: bool) -> DataFrame:
     """Range-repartition on the composite key, then partition-local
@@ -58,8 +63,7 @@ def _locally_ranked(pruned: DataFrame, n_pruned: int, sort_col: str,
     partition key."""
     sort_key = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
     order = [sort_key, F.col(id_col).asc()]
-    parts = max(1, min(_RANK_MAX_PARTS,
-                       -(-max(n_pruned, 1) // _RANK_ROWS_PER_PART)))
+    parts = _rank_parts(n_pruned)
     w = Window.partitionBy("_pid").orderBy(*order)
     return (
         pruned.repartitionByRange(parts, *order)
@@ -87,8 +91,17 @@ def _distributed_rank_head(pruned: DataFrame, k: int, n_pruned: int,
     range sampler reseeds per RDD instantiation; without pinning, counts
     and ranks could disagree).
     """
-    ranked = _locally_ranked(pruned, n_pruned, sort_col, id_col,
-                             ascending).localCheckpoint(eager=True)
+    ranked = _locally_ranked(pruned, n_pruned, sort_col, id_col, ascending)
+    if _rank_parts(n_pruned) == 1:
+        # single range partition: local rank IS the global rank — skip the
+        # checkpoint + offset machinery (3 fewer driver round-trips on the
+        # common small-prune path; the multi-partition path below is the
+        # 100x-scale plan)
+        return (
+            ranked.filter(F.col("_lrn") <= k)
+            .drop("_pid", "_lrn")
+        )
+    ranked = ranked.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["_cnt"] for r in
               ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
               .collect()}

@@ -62,6 +62,20 @@ def test_rank_plan_has_no_unpartitioned_window(spark):
         assert "_pid" in spec.split(",")[0], plan
 
 
+def test_multi_partition_offset_path(spark, monkeypatch):
+    """Force the multi-partition rank (offsets + broadcast join) by lowering
+    the rows-per-partition target — the exact result must be unchanged."""
+    import fastdup_spark.operators.outliers as O
+
+    monkeypatch.setattr(O, "_RANK_ROWS_PER_PART", 500)
+    rows = [(i, 0.0 if i % 20 else float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, v double").repartition(16)
+    k = 250
+    got = O.exact_rank_head(df, k, 5000, "v", "doc_id", ascending=True).collect()
+    want = _naive_bottom_k([(v, i) for i, v in rows], k)
+    assert sorted((r["v"], r["doc_id"]) for r in got) == want
+
+
 def test_outliers_how_all_anti_join(spark, tmp_path):
     """how='all' (reference galleries.py:594-613): outliers carrying an
     above-MEAN similarity edge are dropped; below-mean edges don't disqualify.

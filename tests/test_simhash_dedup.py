@@ -84,3 +84,27 @@ def test_simhash_dedup_finds_exact_dups(fd, url_of, data):
     exact = tp[tp.kind == "exact"]
     hit = sum(asg[url2id[r.src_url]] == asg[url2id[r.dst_url]] for _, r in exact.iterrows())
     assert hit / len(exact) >= 0.99
+
+
+def test_residual_block_salting_bounds_candidates(spark):
+    """Distinct fingerprints that share one 16-bit block form a residual
+    mega-block; with a small max_block_size the salting cap must bound the
+    candidate count far below the ~n^2/2 all-pairs blowup. (Salting trades
+    the pigeonhole guarantee inside oversized blocks — the documented fix
+    at scale is key_blocks, this is the backstop.)"""
+    n = 400
+    # low 16 bits constant (block 0 collides for all); high bits distinct
+    # and far apart in hamming, so no true near-pairs exist
+    rows = [(i, (i * 0x9E3779B97F4A7C15) & ~0xFFFF | 0xABCD) for i in range(n)]
+
+    def to_i64(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame([(i, to_i64(v)) for i, v in rows],
+                               "doc_id long, simhash long")
+    res = simhash_near_dup(df, max_hamming=3, bands=4,
+                           max_block_size=20, salt_target=10)
+    n_cand = res["candidates"].count()
+    assert n_cand < n * 30, f"candidates {n_cand} not bounded by salting"
+    assert res["edges"].count() == 0  # none of these are true near-dups
