@@ -654,7 +654,8 @@ class FastdupSpark:
         }
 
     # ------------------------------------------------------------ embeddings
-    def build_embedding_index(self, embeddings: DataFrame, n_planes: int = 8,
+    def build_embedding_index(self, embeddings: DataFrame,
+                              n_planes: int | None = 8,
                               n_bands: int = 4, seed: int = 7,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> None:
@@ -662,8 +663,20 @@ class FastdupSpark:
         (run(embeddings=...), fastdup_controller.py:149-155): persist the
         multi-band hyperplane-LSH bucket table as the `emb_index` stage.
         The plane parameters land in the stage marker so `vector_search`
-        always probes with the exact planes that built the index."""
+        always probes with the exact planes that built the index.
+
+        ``n_planes=None`` auto-scales the code length to ~log2(n) (one
+        count job), clamped to [6, 24]: sign-LSH candidate cost is n^rho
+        on near-isotropic data, so the bucket population must grow with
+        the corpus to keep expected bucket sizes flat — the fixed default
+        of 8 is tuned for the ~500-vector driver scale only."""
+        import math
+
         from fastdup_spark.operators.knn import hyperplane_buckets
+
+        if n_planes is None:
+            n = embeddings.count()
+            n_planes = max(6, min(24, math.ceil(math.log2(max(n, 2)))))
         idx = hyperplane_buckets(embeddings, n_planes=n_planes,
                                  n_bands=n_bands, seed=seed,
                                  id_col=id_col, vec_col=vec_col)

@@ -110,6 +110,18 @@ def test_hyperplane_buckets_submits_no_eager_job(spark, emb):
     assert a == b
 
 
+def test_auto_n_planes_scales_with_corpus(spark, emb, tmp_path):
+    """n_planes=None sizes the code length to ~log2(n) (clamped [6,24]) so
+    expected bucket populations stay flat as the corpus grows."""
+    from fastdup_spark import FastdupSpark
+
+    fd = FastdupSpark(spark, str(tmp_path / "auto"))
+    fd.build_embedding_index(emb.limit(100), n_planes=None)
+    assert fd.store.read_marker("emb_index")["counters"]["n_planes"] == 7
+    fd.build_embedding_index(emb, n_planes=None)  # 500 vectors -> ceil(log2)=9
+    assert fd.store.read_marker("emb_index")["counters"]["n_planes"] == 9
+
+
 def test_emb_index_marker_carries_dim(spark, emb, tmp_path):
     from fastdup_spark import FastdupSpark
 
