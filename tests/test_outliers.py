@@ -111,3 +111,35 @@ def test_descending_and_zero_k(spark):
     top = exact_rank_head(df, 5, 50, "v", "doc_id", ascending=False).collect()
     assert sorted(r["doc_id"] for r in top) == [45, 46, 47, 48, 49]
     assert exact_rank_head(df, 0, 50, "v", "doc_id").count() == 0
+
+
+def test_rank_property_random_distributions(spark):
+    """Property check: exact_rank_head == naive sorted head on randomized
+    value distributions (ties, negatives, nulls, tiny/huge k)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(),
+                      st.floats(min_value=-100, max_value=100, width=32),
+                      st.sampled_from([0.0, 1.0, -5.0])),
+            min_size=1, max_size=120),
+        k=st.integers(min_value=0, max_value=150),
+        asc=st.booleans(),
+    )
+    def check(vals, k, asc):
+        rows = [(i, None if v is None else float(v))
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "doc_id long, v double")
+        got = sorted(
+            (r["v"], r["doc_id"])
+            for r in exact_rank_head(df, k, len(rows), "v", "doc_id",
+                                     ascending=asc).collect())
+        nn = [(v, i) for i, v in rows if v is not None]
+        want = sorted(sorted(nn, key=lambda t: (t[0] if asc else -t[0], t[1]))[:k])
+        assert got == want
+
+    check()
