@@ -144,7 +144,9 @@ def main() -> None:
     # so a single-trial headline is not comparable round-over-round.
     from fastdup_spark import FastdupSpark
     pages = spark.read.parquet(pp)
-    headline_trials = int(os.environ.get("BENCH_HEADLINE_TRIALS", "2"))
+    # 3 trials: this host's noise spread hit 1.9x within one round-3 bench
+    # (trials [52.8, 40.3, 30.6, 57.6]); min-of-2 can land 30% above the floor
+    headline_trials = int(os.environ.get("BENCH_HEADLINE_TRIALS", "3"))
     trial_secs = []
     for i in range(headline_trials):
         work = f"/tmp/fd_bench_work_{i}"
@@ -159,7 +161,7 @@ def main() -> None:
     # representative per-operator queries over the driver's testdata
     qs = entrymod.queries()
     for name in ["exact_dup_groups", "ngram_jaccard_pairs", "minhash_lsh_dedup",
-                 "lineitem_pricing_summary", "orders_per_nation",
+                 "search_many", "lineitem_pricing_summary", "orders_per_nation",
                  "top2_orders_per_customer", "cosine_to_query",
                  "token_counts", "events_high_water"]:
         t0 = time.time()
