@@ -113,6 +113,16 @@ def kmeans_fit(embeddings: DataFrame, k: int = 8, n_iter: int = 2,
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     init_rows = (vecs.orderBy(id_col).limit(k).select(vec_col).collect())
     centroids = {i: list(r[vec_col]) for i, r in enumerate(init_rows)}
+    if not centroids:
+        # empty input (e.g. an all-quarantined corpus): empty typed results,
+        # not an unresolvable zero-arm argmin plan
+        spark = embeddings.sparkSession
+        return {
+            "assignments": spark.createDataFrame(
+                [], f"{id_col} bigint, cluster bigint, distance double"),
+            "centroids": spark.createDataFrame(
+                [], "cluster bigint, size bigint, centroid array<double>"),
+        }
 
     for _ in range(n_iter):
         asg = _assign(vecs, centroids, id_col, vec_col)

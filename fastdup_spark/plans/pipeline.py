@@ -638,9 +638,12 @@ class FastdupSpark:
             feat_cols = ["n_chars", "n_tokens", "n_lines",
                          "distinct_token_ratio", "repeated_line_ratio",
                          "digit_ratio", "punct_ratio", "avg_token_len"]
+            # coalesce: a null metric (e.g. avg_token_len on a token-free
+            # doc) must not null-poison the whole distance computation
             vecs = st.select(
                 "doc_id",
-                F.array(*[F.col(c).cast("double") for c in feat_cols])
+                F.array(*[F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+                          for c in feat_cols])
                 .alias("features"))
             res = kmeans_fit(vecs, k=k, n_iter=n_iter,
                              id_col="doc_id", vec_col="features")
