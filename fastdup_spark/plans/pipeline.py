@@ -166,6 +166,9 @@ class FastdupSpark:
                 raise ValueError("pass pages DataFrame or input_path")
             pages = self.spark.read.parquet(input_path)
 
+        import time
+        t_run_start = time.time()
+
         def done(stage: str) -> bool:
             return (not force) and cfg.resume and self.store.is_complete(stage, self._chash)
 
@@ -218,8 +221,16 @@ class FastdupSpark:
             n_pairs=self.store.read_marker("similarity")["rows"],
             n_outliers=self.store.read_marker("outliers")["rows"],
         )
+        # per-stage completion offsets (seconds since run start, from marker
+        # mtimes — free observability; stages skipped by resume are omitted)
+        import os
+        stage_s = {}
+        for s in STAGES:
+            mp = self.store.marker_path(s)
+            if os.path.exists(mp) and os.path.getmtime(mp) >= t_run_start:
+                stage_s[s] = round(os.path.getmtime(mp) - t_run_start, 2)
         manifest = {"config": self.config.to_dict(), "config_hash": self._chash,
-                    "summary": summ}
+                    "summary": summ, "stage_completed_s": stage_s}
         self.store.write_json(manifest, "run_manifest")
         return summ
 
