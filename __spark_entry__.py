@@ -542,6 +542,31 @@ def q_near_dup_pairs(spark, sf):
         "src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_gopher_rules(spark, sf):
+    """Gopher quality filters (Rae et al. 2021, published Table A1): per-doc
+    word/length bounds, symbol/bullet/ellipsis ratios, alpha + stopword
+    floors, conjunctive passes verdict. Pure JVM expressions."""
+    from fastdup_spark.operators.textql import gopher_quality_expr
+
+    d = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    return (
+        d.select("doc_id", gopher_quality_expr(F.col("text")).alias("_g"))
+        .select("doc_id", "_g.*")
+    )
+
+
+def q_repetition_scores(spark, sf):
+    """Within-doc repetition (Rae et al. 2021 repetition filters): fraction
+    of 3-gram occurrences that repeat an earlier 3-gram."""
+    from fastdup_spark.operators.textql import dup_ngram_fraction_expr
+
+    d = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    return (
+        d.select("doc_id", dup_ngram_fraction_expr(F.col("text"), 3).alias("_r"))
+        .select("doc_id", "_r.*")
+    )
+
+
 def q_search_many(spark, sf):
     """Batched set-vs-corpus search (the reference's search run mode is
     set-vs-set: every query row lands in search.csv,
@@ -723,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core near-dup contract (oracle = brute-force exact Jaccard)
         "near_dup_pairs": q_near_dup_pairs,
         "search_many": q_search_many,
+        "gopher_rules": q_gopher_rules,
+        "repetition_scores": q_repetition_scores,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1232,6 +1259,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = src
             JOIN sizes sb ON sb.doc_id = dst
             WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+        """,
+        "gopher_rules": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws,
+                     string_split(text, chr(10)) AS ls
+              FROM documents WHERE trim(text) <> ''
+            ),
+            m AS (
+              SELECT doc_id,
+                len(ws) AS n_words,
+                list_sum(list_transform(ws, x -> len(x))) * CAST(1.0 AS DOUBLE) / len(ws) AS mwl,
+                len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')
+                                      OR contains(x, '…'))) AS n_sym,
+                len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+                                      OR starts_with(ltrim(l), '*')
+                                      OR starts_with(ltrim(l), '•'))) AS n_bullet,
+                len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+                                      OR ends_with(rtrim(l), '…'))) AS n_ellip,
+                len(ls) AS n_lines,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                                s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+                  AS n_stop
+              FROM d
+            )
+            SELECT doc_id,
+              n_words,
+              round(mwl, 4) AS mean_word_len,
+              round(n_sym * CAST(1.0 AS DOUBLE) / n_words, 4) AS frac_symbol_words,
+              round(n_alpha * CAST(1.0 AS DOUBLE) / n_words, 4) AS frac_alpha_words,
+              round(n_bullet * CAST(1.0 AS DOUBLE) / n_lines, 4) AS frac_bullet_lines,
+              round(n_ellip * CAST(1.0 AS DOUBLE) / n_lines, 4) AS frac_ellipsis_lines,
+              n_stop AS n_stopwords_present,
+              (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+                AND (n_sym * CAST(1.0 AS DOUBLE) / n_words <= 0.1)
+                AND (n_bullet * CAST(1.0 AS DOUBLE) / n_lines <= 0.9)
+                AND (n_ellip * CAST(1.0 AS DOUBLE) / n_lines <= 0.3)
+                AND (n_alpha * CAST(1.0 AS DOUBLE) / n_words >= 0.8)
+                AND (n_stop >= 2) AS passes
+            FROM m
+        """,
+        "repetition_scores": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(ws[i : i+2], ' ') AS gr
+              FROM (SELECT doc_id, ws,
+                           unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i
+                    FROM d)
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS total_ngrams,
+                     count(DISTINCT gr) AS distinct_ngrams
+              FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.total_ngrams, 0) AS total_ngrams,
+                   coalesce(a.distinct_ngrams, 0) AS distinct_ngrams,
+                   CASE WHEN a.total_ngrams > 0
+                        THEN round(1.0 - a.distinct_ngrams * CAST(1.0 AS DOUBLE)
+                                   / a.total_ngrams, 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "minhash_lsh_dedup": r"""
             WITH RECURSIVE toks AS (

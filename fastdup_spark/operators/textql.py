@@ -101,3 +101,77 @@ def winnow_fingerprints_expr(shingles_col: Column, window: int = 4) -> Column:
         lambda i: F.array_min(F.slice(s, i + F.lit(1), F.lit(window))),
     )
     return F.array_distinct(F.when(F.size(s) == 0, s).otherwise(mins))
+
+
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_expr(text_col: Column) -> Column:
+    """Gopher quality-filter signals (Rae et al. 2021, published Table A1
+    thresholds): word-count and mean-word-length bounds, symbol/bullet/
+    ellipsis ratios, alpha-word and stopword floors. Raw whitespace words
+    (no punctuation strip — the published rules operate on surface words).
+    Pure JVM expressions; returns a struct of the per-doc signals plus the
+    conjunctive `passes` verdict."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    nd = n_words.cast("double")
+    mean_wl = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x)).cast("double") / nd
+    n_sym = F.size(F.filter(words, lambda w: w.contains("#")
+                            | w.contains("...") | w.contains("…")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).startswith("-")
+        | F.ltrim(l).startswith("*") | F.ltrim(l).startswith("•")))
+    n_ellip = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+        | F.rtrim(l).endswith("…")))
+    lowered = F.transform(words, F.lower)
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOP]),
+        lambda s: F.array_contains(lowered, s)))
+    frac_sym = F.round(n_sym.cast("double") / nd, 4)
+    frac_alpha = F.round(n_alpha.cast("double") / nd, 4)
+    frac_bullet = F.round(n_bullet.cast("double") / F.size(lines).cast("double"), 4)
+    frac_ellip = F.round(n_ellip.cast("double") / F.size(lines).cast("double"), 4)
+    mean_wl_r = F.round(mean_wl, 4)
+    passes = (
+        n_words.between(50, 100_000) & mean_wl.between(3.0, 10.0)
+        & (n_sym.cast("double") / nd <= 0.1)
+        & (n_bullet.cast("double") / F.size(lines).cast("double") <= 0.9)
+        & (n_ellip.cast("double") / F.size(lines).cast("double") <= 0.3)
+        & (n_alpha.cast("double") / nd >= 0.8)
+        & (n_stop >= 2)
+    )
+    return F.struct(
+        n_words.alias("n_words"), mean_wl_r.alias("mean_word_len"),
+        frac_sym.alias("frac_symbol_words"), frac_alpha.alias("frac_alpha_words"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellip.alias("frac_ellipsis_lines"),
+        n_stop.alias("n_stopwords_present"), passes.alias("passes"),
+    )
+
+
+def dup_ngram_fraction_expr(text_col: Column, n: int = 3) -> Column:
+    """Within-document repetition (Rae et al. 2021 repetition filters):
+    fraction of n-gram OCCURRENCES that are repeats of an earlier n-gram —
+    1 - distinct/total over the sliding n-gram list. 0.0 for docs shorter
+    than n words. Whole-stage-codegen expressions, no shuffle."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    total = F.size(words) - (n - 1)
+    dup = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") \
+        / total.cast("double")
+    return F.struct(
+        F.greatest(total, F.lit(0)).alias("total_ngrams"),
+        F.when(total > 0, F.size(F.array_distinct(grams)))
+         .otherwise(F.lit(0)).alias("distinct_ngrams"),
+        F.when(total > 0, F.round(dup, 6)).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )

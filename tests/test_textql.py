@@ -88,3 +88,41 @@ def test_winnow_fingerprints(spark):
     # winnowed set is a subset of the shingle set
     sh = df.select(shingles_expr(normalize_tokens_expr(F.col("text")), 3).alias("s")).first()["s"]
     assert set(out) <= set(sh)
+
+
+def test_gopher_passes_flips(spark):
+    """The conjunctive Gopher verdict must pass a healthy English doc and
+    fail each violated rule (fixture text never passes the stopword floor,
+    so the verdict is exercised here, not by the oracle corpus)."""
+    from fastdup_spark.operators.textql import gopher_quality_expr
+
+    healthy = ("the quick brown fox jumps over that lazy dog and we have "
+               "plenty of normal prose to work with here today ") * 5
+    too_short = "the and of that have with be to"
+    symbol_heavy = " ".join(["#tag"] * 30 + ["the and of that"] * 10)
+    no_alpha = " ".join(["12345"] * 60) + " the and"
+    rows = [(1, healthy), (2, too_short), (3, symbol_heavy), (4, no_alpha)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["g"]["passes"] for r in
+           df.select("doc_id",
+                     gopher_quality_expr(F.col("text")).alias("g")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_dup_ngram_fraction_exact(spark):
+    from fastdup_spark.operators.textql import dup_ngram_fraction_expr
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 7 grams, 3 distinct -> 4/7 dup
+        (2, "all unique words here entirely"),
+        (3, "x y"),                  # shorter than n -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["r"].asDict() for r in
+           df.select("doc_id",
+                     dup_ngram_fraction_expr(F.col("text"), 3).alias("r"))
+           .collect()}
+    assert got[1]["total_ngrams"] == 7 and got[1]["distinct_ngrams"] == 3
+    assert abs(got[1]["dup_frac"] - (1 - 3 / 7)) < 1e-6
+    assert got[2]["dup_frac"] == 0.0
+    assert got[3] == {"total_ngrams": 0, "distinct_ngrams": 0, "dup_frac": 0.0}
