@@ -156,15 +156,21 @@ class FastdupSpark:
 
     # ------------------------------------------------------------------ run
     def run(self, pages: DataFrame | None = None, input_path: str | None = None,
-            force: bool = False) -> dict:
+            force: bool = False, input_format: str = "parquet") -> dict:
         """Execute all stages; each is skipped when its completion marker
         matches the current config (resume semantics, ref run_mode=2/resume).
-        Returns the run summary dict."""
+        Returns the run summary dict. ``input_format``: 'parquet' (or any
+        Spark batch format name, e.g. 'iceberg' on deployments with the
+        runtime) or 'warc' (.warc/.warc.gz archives via sources/warc.py)."""
         cfg = self.config
         if pages is None:
             if input_path is None:
                 raise ValueError("pass pages DataFrame or input_path")
-            pages = self.spark.read.parquet(input_path)
+            if input_format == "warc":
+                from fastdup_spark.sources.warc import read_warc_pages
+                pages = read_warc_pages(self.spark, input_path).drop("warc_file")
+            else:
+                pages = self.spark.read.format(input_format).load(input_path)
 
         import time
         t_run_start = time.time()

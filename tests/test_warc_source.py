@@ -61,3 +61,16 @@ def test_parser_skips_malformed_and_non_response():
         b"HTTP/1.1 200 OK\r\n\r\n<p>body</p>\r\n\r\n")))
     assert good["url"] == "https://x/"
     assert good["html"] == b"<p>body</p>"
+
+
+def test_run_input_format_warc(spark, corpus, tmp_path):
+    """fd.run(input_path=..., input_format='warc') ingests archives
+    directly — no intermediate parquet conversion step."""
+    from fastdup_spark import FastdupSpark
+
+    out = str(tmp_path / "warc_in")
+    write_warc_files(corpus, out, gzip_members=True)
+    fd = FastdupSpark(spark, str(tmp_path / "work"))
+    summ = fd.run(input_path=out, input_format="warc")
+    n_nonempty = int((corpus["text"] != "").sum())
+    assert summ["valid_docs"] == n_nonempty
