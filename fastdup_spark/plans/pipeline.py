@@ -538,6 +538,24 @@ class FastdupSpark:
         return duplicates_to_drop(asg).join(
             self.docs().select("doc_id", "url"), "doc_id")
 
+    def write_deduped(self, path: str, fmt: str = "parquet") -> dict:
+        """≈ delete_components / remove duplicates run to completion
+        (/root/reference/fastdup/fastdup_controller.py delete_components;
+        the reference deletes image files in place): materialize the
+        CLEANED corpus — valid docs minus every non-survivor of a ≥2
+        component (keep-min-doc_id policy, same decision table as
+        `duplicates()`) — to a new table instead of mutating the input
+        (immutable-lake semantics). Returns {kept, dropped}."""
+        drops = duplicates_to_drop(
+            self.store.read(self.spark, "assignments")).select("doc_id")
+        out = self.docs().join(drops, "doc_id", "left_anti")
+        out.write.mode("overwrite").format(fmt).save(path)
+        info = self.store.read(self.spark, "component_info")
+        n_dropped = info.filter(F.col("count") >= 2).agg(
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0))).first()[0]
+        n_valid = (self.store.read_json("extract_counts") or {}).get("valid", 0)
+        return {"kept": int(n_valid - n_dropped), "dropped": int(n_dropped)}
+
     def containment(self) -> DataFrame:
         return self.store.read(self.spark, "containment")
 

@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=9)
     ap.add_argument("--n-perm", type=int, default=128)
     ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--input-format", default="parquet",
+                    help="parquet (default), iceberg, or warc")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -38,7 +40,8 @@ def main() -> None:
         lsh_bands=args.bands, lsh_rows=args.n_perm // args.bands,
     )
     fd = FastdupSpark(spark, args.work_dir, cfg)
-    summary = fd.run(input_path=args.input, force=args.force)
+    summary = fd.run(input_path=args.input, force=args.force,
+                 input_format=args.input_format)
     print(json.dumps(summary))
 
 

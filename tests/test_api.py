@@ -184,3 +184,23 @@ def test_search_long_query_doc(fd):
     long_query = " ".join(f"q{rng.randrange(10**7)}" for _ in range(20_000))
     res = fd.search(long_query, k=3).collect()
     assert isinstance(res, list)  # no matches expected; must run cleanly
+
+
+def test_write_deduped_corpus(fd, tmp_path):
+    """write_deduped materializes the cleaned corpus: exactly the W4
+    non-survivors are gone, survivors keep one doc per component."""
+    out = str(tmp_path / "clean")
+    stats = fd.write_deduped(out)
+    clean = fd.spark.read.parquet(out)
+    assert clean.count() == stats["kept"]
+    assert stats["kept"] + stats["dropped"] == fd.docs().count()
+    # no component of size >= 2 retains more than one member
+    asg = fd.store.read(fd.spark, "assignments")
+    per_comp = (clean.select("doc_id").join(asg, "doc_id")
+                .groupBy("component_id").count()
+                .agg(F.max("count")).first()[0])
+    assert per_comp == 1
+    # and the kept member is the min doc_id of its component
+    kept_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    mins = asg.groupBy("component_id").agg(F.min("doc_id").alias("m")).collect()
+    assert all(r["m"] in kept_ids for r in mins)
