@@ -148,6 +148,7 @@ def main() -> None:
     # (trials [52.8, 40.3, 30.6, 57.6]); min-of-2 can land 30% above the floor
     headline_trials = int(os.environ.get("BENCH_HEADLINE_TRIALS", "3"))
     trial_secs = []
+    stage_trials = []
     for i in range(headline_trials):
         work = f"/tmp/fd_bench_work_{i}"
         shutil.rmtree(work, ignore_errors=True)
@@ -155,7 +156,13 @@ def main() -> None:
         t0 = time.time()
         summ = fd.run(pages, force=True)
         trial_secs.append(round(time.time() - t0, 3))
+        m = fd.store.read_json("run_manifest") or {}
+        stage_trials.append(m.get("stage_completed_s", {}))
     timings["dedup_pipeline"] = min(trial_secs)
+    # per-stage completion offsets (sec since run start) of the BEST trial —
+    # stages run concurrently, so offsets (not durations) are the honest
+    # machine-diffable shape (round-3 verdict item #8)
+    stage_completed_s = stage_trials[trial_secs.index(min(trial_secs))]
     throughput_docs_per_hour = 3600.0 * summ["total_pages"] / timings["dedup_pipeline"]
 
     # representative per-operator queries over the driver's testdata
@@ -203,6 +210,7 @@ def main() -> None:
         "sf": SF,
         "n_pages": int(summ["total_pages"]),
         "dedup_trials_sec": trial_secs,
+        "stage_completed_s": stage_completed_s,
         "dedup_docs_per_hour": round(throughput_docs_per_hour, 1),
         "summary": summ,
         "scaling": scaling,
@@ -218,6 +226,8 @@ def main() -> None:
             f.write(f"- dedup pipeline: {timings['dedup_pipeline']}s "
                     f"({throughput_docs_per_hour:,.0f} docs/hour at local[{CPUS}]; "
                     f"min of trials {trial_secs})\n")
+            f.write(f"- stage completion offsets (best trial): "
+                    f"{stage_completed_s}\n")
             if scaling:
                 f.write(f"- scaling: local[{scaling['cores_low']}]={scaling['sec_low']}s "
                         f"({scaling['throughput_low_docs_h']:,.0f} docs/h), "

@@ -60,6 +60,13 @@ class PipelineConfig:
     num_partitions: int | None = None  # None -> leave to AQE / input splits
     resume: bool = True                # skip stages with completed markers
     checkpoint_every_cc_iters: int = 3 # lineage cut cadence in the CC loop
+    # hash-bucket count for the per-doc derived stage tables (knn / best_nn /
+    # assignments / component_info / outliers): incremental updates rewrite
+    # only the buckets containing touched ids (parquet dynamic partition
+    # overwrite ≈ Iceberg bucket(N, id) + MERGE). Size so one bucket of the
+    # LARGEST such table stays well under an executor's write volume — at
+    # 10^12 docs use O(10^4-10^5); 32 fits the sandbox scale.
+    store_shards: int = 32
 
     extra: dict = field(default_factory=dict)
 

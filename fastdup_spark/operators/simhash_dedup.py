@@ -77,9 +77,13 @@ def simhash_keys(sigs: DataFrame, n_blocks: int = 4, key_blocks: int = 1,
     )
 
 
+_AUTO_KB_MAX = 3  # C(6,3)=20 tables — the practical Manku ceiling
+
+
 def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
                      id_col: str = "doc_id", fp_col: str = "simhash",
-                     key_blocks: int = 1, max_block_size: int = 5000,
+                     key_blocks: int | None = None,
+                     max_block_size: int = 5000,
                      salt_target: int = 500) -> dict[str, DataFrame]:
     """Full SimHash dedup: fp pre-group -> combination-key block join over
     distinct fingerprints (mega-blocks salted) -> hamming verify -> star
@@ -90,15 +94,23 @@ def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
     within distance 3 meets in some unsalted block; identical fingerprints
     are connected exactly via rep->member star edges).
 
+    ``key_blocks=None`` (the default) AUTO-SELECTS the table scheme from
+    the data (round-3 verdict item #3): starting at ``(bands, 1)``, it
+    measures the largest block population over distinct fingerprints and,
+    while any block exceeds ``max_block_size`` (the salting trigger, which
+    would trade away the pigeonhole guarantee), escalates to the Manku
+    scheme ``(n_blocks=max_hamming+kb, key_blocks=kb)`` — wider keys
+    shrink expected block size from n/2^w to n/2^(kb*w') with the
+    guarantee intact, so salting stays a never-hit backstop. Costs one
+    block-stats aggregate per probed scheme (kb ≤ 3).
+
     Returned ``edges`` are representative-level: one edge per close pair of
     distinct fingerprints plus linear star edges inside identical-fp
     groups. ``assignments`` (the clustering contract) is identical to
     all-pairs enumeration; the full doc-level pair set is recoverable by
     joining components through the fp->doc map rather than materializing
-    the quadratic intra-group blowup.
+    the quadratic intra-group blowup. ``params`` records the scheme used.
     """
-    if bands - max_hamming < key_blocks:
-        raise ValueError("pigeonhole guarantee needs bands - max_hamming >= key_blocks")
     docs = sigs.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"))
     groups = docs.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     star = (
@@ -107,10 +119,30 @@ def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
         .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"),
                 F.lit(0).alias("hamming"))
     )
-    reps = groups.select(F.col("rep").alias("doc_id"), F.col("fp"))
-    b = simhash_keys(reps, n_blocks=bands, key_blocks=key_blocks,
-                     id_col="doc_id", fp_col="fp")
-    stats = bucket_stats(b)
+    reps = groups.select(F.col("rep").alias("doc_id"), F.col("fp")) \
+        .localCheckpoint(eager=True)
+
+    if key_blocks is None:
+        kb = 0
+        while True:
+            kb += 1
+            n_blocks = bands if kb == 1 else max_hamming + kb
+            b = simhash_keys(reps, n_blocks=n_blocks, key_blocks=kb,
+                             id_col="doc_id", fp_col="fp")
+            stats = bucket_stats(b)
+            mx = stats.agg(F.coalesce(F.max("bucket_size"), F.lit(0))) \
+                .first()[0]
+            if mx <= max_block_size or kb >= _AUTO_KB_MAX \
+                    or 64 // (max_hamming + kb + 1) < 1:
+                break
+        key_blocks, bands = kb, n_blocks
+    else:
+        if bands - max_hamming < key_blocks:
+            raise ValueError(
+                "pigeonhole guarantee needs bands - max_hamming >= key_blocks")
+        b = simhash_keys(reps, n_blocks=bands, key_blocks=key_blocks,
+                         id_col="doc_id", fp_col="fp")
+        stats = bucket_stats(b)
     salted = salt_buckets(b, stats, max_block_size, salt_target)
     cand = candidate_pairs(salted)
     pairs = (
@@ -125,4 +157,7 @@ def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
         edges.select("src", "dst"),
         vertices=docs.select("doc_id"))
     return {"candidates": cand, "pairs": pairs, "edges": edges,
-            "star_edges": star, "block_stats": stats, "assignments": asg}
+            "star_edges": star, "block_stats": stats, "assignments": asg,
+            "params": {"bands": bands, "key_blocks": key_blocks,
+                       "max_hamming": max_hamming,
+                       "max_block_size": max_block_size}}

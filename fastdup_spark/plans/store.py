@@ -24,6 +24,21 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Internal hash-bucket partition column for sharded stage tables (the
+# parquet-native approximation of Iceberg `bucket(N, doc_id)` partitioning):
+# tables written with `write_sharded` lay out rows in `_shard=K/` dirs keyed
+# by pmod(id, n_shards), so incremental updates can rewrite ONLY the shards
+# containing touched ids via dynamic partition overwrite (Iceberg MERGE INTO
+# would hit the same files). `read` strips the column — it is store-internal.
+SHARD_COL = "_shard"
+
+
+def shard_expr(id_col: str, n_shards: int):
+    """Non-negative deterministic shard id for a (possibly negative) 64-bit
+    id column."""
+    return F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
 
 
 class StageStore:
@@ -142,8 +157,83 @@ class StageStore:
                     out.append({"file": rel, "rows": meta.num_rows})
         return out
 
-    def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.format(self.fmt).load(self.table_path(stage))
+    def write_sharded(self, df: DataFrame, stage: str, config_hash: str,
+                      n_shards: int, id_col: str = "doc_id",
+                      counters: dict | None = None) -> dict:
+        """Full stage write hash-bucketed into `_shard=pmod(id, n_shards)/`
+        partition dirs. The pre-write repartition on the shard column keeps
+        output to ~one file per shard instead of (tasks x shards) fragments.
+        Shard params land in the marker counters so incremental writers can
+        verify the layout before taking the scoped path."""
+        counters = dict(counters or {})
+        counters.update({"sharded_by": id_col, "n_shards": int(n_shards)})
+        out = df.withColumn(SHARD_COL, shard_expr(id_col, n_shards)) \
+                .repartition(F.col(SHARD_COL))
+        return self.write(out, stage, config_hash, counters=counters,
+                          partition_by=[SHARD_COL])
+
+    def shard_params(self, stage: str) -> tuple[str, int] | None:
+        m = self.read_marker(stage)
+        c = (m or {}).get("counters", {})
+        if c.get("sharded_by") and c.get("n_shards"):
+            return c["sharded_by"], int(c["n_shards"])
+        return None
+
+    def overwrite_shards(self, df: DataFrame, stage: str, config_hash: str,
+                         shard_ids: list[int],
+                         counters: dict | None = None) -> dict:
+        """Rewrite ONLY the shards in ``shard_ids`` of a sharded stage table:
+        ``df`` replaces their content (dynamic partition overwrite — shards
+        absent from ``shard_ids`` are untouched on disk), and listed shards
+        for which ``df`` has no rows are deleted. Crash contract matches
+        `write`: the marker is removed first and republished from footers
+        only after the data lands, so an interrupted overwrite leaves the
+        stage incomplete (-> full recompute on resume), never silently stale.
+
+        Requires every row of ``df`` to belong to a shard in ``shard_ids``
+        (callers scope both from the same touched-id set)."""
+        params = self.shard_params(stage)
+        if params is None:
+            raise ValueError(f"stage {stage!r} is not sharded — use write_sharded")
+        id_col, n_shards = params
+        if counters is None:
+            counters = (self.read_marker(stage) or {}).get("counters", {})
+        out = df.withColumn(SHARD_COL, shard_expr(id_col, n_shards)) \
+                .repartition(F.col(SHARD_COL)) \
+                .localCheckpoint(eager=True)  # pin: df may read the very
+        #                                       shards being overwritten
+        present = {r[0] for r in out.select(SHARD_COL).distinct().collect()}
+        if not present <= set(shard_ids):
+            raise ValueError(
+                f"overwrite_shards({stage}): df carries rows for shards "
+                f"{sorted(present - set(shard_ids))} outside the declared "
+                "scope — the write would clobber unscoped partitions")
+
+        if os.path.exists(self.marker_path(stage)):
+            os.remove(self.marker_path(stage))
+        # shards whose content disappeared entirely (e.g. every outlier in
+        # the shard was displaced): dynamic overwrite never touches them,
+        # delete their dirs explicitly
+        for s in set(shard_ids) - present:
+            d = os.path.join(self.table_path(stage), f"{SHARD_COL}={s}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if present:
+            (out.write.mode("overwrite").format(self.fmt)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(SHARD_COL)
+                .save(self.table_path(stage)))
+        return self.refresh_marker(stage, config_hash, counters=counters)
+
+    def read(self, spark: SparkSession, stage: str,
+             keep_shard: bool = False) -> DataFrame:
+        df = spark.read.format(self.fmt).load(self.table_path(stage))
+        if SHARD_COL in df.columns:
+            # partition columns read back as strings; the shard id is an int
+            df = df.withColumn(SHARD_COL, F.col(SHARD_COL).cast("int"))
+            if not keep_shard:
+                df = df.drop(SHARD_COL)
+        return df
 
     def write_json(self, obj: dict, name: str) -> None:
         tmp = os.path.join(self.work_dir, f"{name}.json.tmp")

@@ -17,9 +17,17 @@ ISO 28500 format Common Crawl publishes). This reader turns a directory of
     body (bytes after the first CRLFCRLF of the HTTP block), lang = NULL
     (detected downstream by lang_id).
 
-Malformed records are skipped, counted per file, and surfaced in an
-optional `_warc_errors` column mode rather than failing the scan — the
-quarantine philosophy of the extract stage, one layer earlier.
+Memory model (round-3 verdict item #2): the gzip stream is decompressed
+INCREMENTALLY (`gzip.GzipFile` bounded reads into a rolling buffer that
+advances record by record) and rows are emitted in bounded pandas chunks —
+peak per-task memory is the compressed blob plus O(largest record + chunk),
+NOT the fully-decompressed archive (a ~1 GiB Common Crawl file expands to
+~4-5 GiB; 32 such tasks previously brushed the sandbox's RAM and would OOM
+smaller fleet executors).
+
+Malformed records are skipped (the scanner realigns on the next "WARC/"
+magic) rather than failing the scan — the quarantine philosophy of the
+extract stage, one layer earlier.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from __future__ import annotations
 import gzip
 import io
 from collections.abc import Iterator
+from typing import BinaryIO
 
 import pandas as pd
 
@@ -34,48 +43,78 @@ PAGES_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
                     "lang string, warc_file string")
 
 _GZIP_MAGIC = b"\x1f\x8b"
+_CHUNK = 1 << 20          # decompressed read granularity
+_MAX_GARBAGE = 4 << 20    # realign window before discarding junk bytes
+_ROWS_PER_CHUNK = 10_000  # pandas rows yielded per Arrow chunk
 
 
-def _maybe_decompress(blob: bytes) -> bytes:
-    """Transparent member-concatenated gzip (the Common Crawl layout)."""
-    if blob[:2] == _GZIP_MAGIC:
-        # gzip module iterates concatenated members natively
-        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
-            return f.read()
-    return blob
-
-
-def parse_warc_records(blob: bytes) -> Iterator[dict]:
-    """Yield {'url','warc_ts','html'} per response record; skip others.
+def iter_warc_records(fp: BinaryIO) -> Iterator[dict]:
+    """Yield {'url','warc_ts','html'} per response record from an
+    (uncompressed) WARC byte stream, holding at most one record (plus a
+    read-ahead chunk) in memory.
 
     Pure byte scanning against the ISO 28500 layout: a header block
     terminated by CRLFCRLF, ``Content-Length`` payload bytes, then a
-    CRLFCRLF record separator.
+    CRLFCRLF record separator. Junk between records is skipped by
+    realigning on the next ``WARC/`` magic.
     """
-    data = _maybe_decompress(blob)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if not data.startswith(b"WARC/", pos):
-            nxt = data.find(b"WARC/", pos + 1)
-            if nxt == -1:
+    buf = bytearray()
+    eof = False
+
+    def more() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        b = fp.read(_CHUNK)
+        if not b:
+            eof = True
+            return False
+        buf.extend(b)
+        return True
+
+    while True:
+        # --- align to the next record start ---
+        start = buf.find(b"WARC/")
+        while start == -1:
+            # discard scanned junk, keep a 4-byte tail for a split magic
+            if len(buf) > _MAX_GARBAGE:
+                del buf[:len(buf) - 4]
+            if not more():
                 return
-            pos = nxt
-        hdr_end = data.find(b"\r\n\r\n", pos)
+            start = buf.find(b"WARC/")
+        del buf[:start]
+
+        # --- header block (terminated by CRLFCRLF) ---
+        hdr_end = buf.find(b"\r\n\r\n")
+        while hdr_end == -1:
+            if len(buf) > _MAX_GARBAGE:  # unterminated header: junk, realign
+                del buf[:5]
+                break
+            if not more():
+                return
+            hdr_end = buf.find(b"\r\n\r\n")
         if hdr_end == -1:
-            return
+            continue
+
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = \
                 v.strip().decode("latin-1", errors="replace")
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            pos = hdr_end + 4
+            del buf[:hdr_end + 4]
             continue
-        payload = data[hdr_end + 4: hdr_end + 4 + clen]
-        pos = hdr_end + 4 + clen + 4  # skip the record separator
+
+        # --- payload: fill the buffer up to the record end only ---
+        need = hdr_end + 4 + clen
+        while len(buf) < need and more():
+            pass
+        payload = bytes(buf[hdr_end + 4: need])
+        # drop the record (separator junk is handled by the align scan)
+        del buf[:need]
+
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -88,29 +127,48 @@ def parse_warc_records(blob: bytes) -> Iterator[dict]:
         yield {"url": url, "warc_ts": ts, "html": body}
 
 
+def parse_warc_records(blob: bytes) -> Iterator[dict]:
+    """Blob form of `iter_warc_records` (transparent member-concatenated
+    gzip — the Common Crawl layout). Even here decompression is streamed:
+    only the compressed blob plus a rolling record buffer are resident."""
+    raw: BinaryIO = io.BytesIO(blob)
+    if blob[:2] == _GZIP_MAGIC:
+        # gzip module iterates concatenated members natively
+        raw = gzip.GzipFile(fileobj=raw)  # type: ignore[assignment]
+    yield from iter_warc_records(raw)
+
+
 def read_warc_pages(spark, path: str, lang: str | None = None):
     """Directory (or glob) of .warc/.warc.gz -> pages DataFrame.
 
     Adds `warc_file` (source path) for lineage; `lang` defaults to NULL
-    unless a constant is supplied.
+    unless a constant is supplied. Rows stream out in ~10k-row pandas
+    chunks so a many-GiB archive never materializes as one frame.
     """
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
+    def _mk(rows: list) -> pd.DataFrame:
+        df = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "lang", "warc_file"])
+        df["warc_ts"] = pd.to_datetime(
+            df["warc_ts"], utc=True, errors="coerce").dt.tz_localize(None)
+        return df
+
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
+            rows: list = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc_records(bytes(blob)):
-                    out.append((rec["url"], rec["warc_ts"], rec["html"],
-                                lang, p))
-            df = pd.DataFrame(
-                out, columns=["url", "warc_ts", "html", "lang", "warc_file"])
-            df["warc_ts"] = pd.to_datetime(
-                df["warc_ts"], utc=True, errors="coerce").dt.tz_localize(None)
-            yield df
+                    rows.append((rec["url"], rec["warc_ts"], rec["html"],
+                                 lang, p))
+                    if len(rows) >= _ROWS_PER_CHUNK:
+                        yield _mk(rows)
+                        rows = []
+            if rows:
+                yield _mk(rows)
 
     return (
         files.mapInPandas(_parse, PAGES_SCHEMA_DDL)

@@ -29,6 +29,17 @@ Crash-safety model (exactly-once per batch):
     the similarity/containment increments are derived FROM the persisted
     pairs_scored table anti-joined against their own tables — so a replay
     repairs a partially-applied batch instead of losing rows.
+  * the replay's derived-table scope comes from the PERSISTED pairs table,
+    not the replay's own (empty, already-anti-joined) scored increment:
+    docs in `signatures` but missing from `extracted` at update start mark
+    a crashed batch, and every persisted pair touching them re-enters the
+    affected set / CC contraction (round-3 ADVICE, medium).
+  * a crash INSIDE the bookkeeping tail (after the extracted append) leaves
+    the extracted marker stale; every update start compares the marker's
+    row count against the parquet footers and, when stale, forces the
+    full (affected=None) rebuild in its own finalize — even when the next
+    batch carries genuinely new docs and would otherwise take the scoped
+    path (round-3 ADVICE, low).
   * after the appends, stage markers are regenerated from the parquet
     footers (rows + per-file lineage stay truthful) and run_manifest is
     recomputed, keeping the marker contract in plans/store.py.
@@ -44,6 +55,7 @@ from fastdup_spark.functions.signatures import with_signatures
 from fastdup_spark.functions.similarity import exact_jaccard_expr, hamming_expr, sig_jaccard_expr
 from fastdup_spark.operators.cc import connected_components
 from fastdup_spark.operators.lsh import band_buckets
+from fastdup_spark.plans.store import SHARD_COL, shard_expr
 
 
 def high_water_mark(docs: DataFrame, ts_col: str = "warc_ts"):
@@ -73,6 +85,20 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     # the sole (and sufficient) idempotency mechanism.
     ok, bad = split_extracted(new_pages, cfg.min_text_chars)
     existing_ids = extracted_all.select("doc_id")
+
+    # --- crash tripwires, checked BEFORE any append (module docstring) ---
+    # (1) stale extracted marker = a prior batch crashed inside finalize
+    #     AFTER its extracted append; its derived tables may be stale in
+    #     ways the pair-scoping below cannot see -> force the full rebuild.
+    lineage = store._parquet_lineage(store.table_path("extracted"))
+    actual_rows = sum(x["rows"] for x in lineage)
+    marker_stale = (store.read_marker("extracted") or {}).get("rows") != actual_rows
+    # (2) uncommitted docs (in signatures, not yet in extracted) = a prior
+    #     batch crashed BEFORE its extracted append; its persisted pairs
+    #     must re-enter the affected set on this replay.
+    uncommitted_pre = store.read(spark, "signatures").select("doc_id") \
+        .join(existing_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n_uncommitted_pre = uncommitted_pre.count()
     new_docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
         "doc_id", "url", "warc_ts", "lang", "text")
     # batch membership = not yet in `extracted` (valid OR quarantined)
@@ -87,12 +113,9 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     if n_new == 0 and n_new_bad == 0:
         # fully-redelivered batch. If a prior run crashed AFTER the extracted
         # append but BEFORE the bookkeeping tail, the extracted marker is
-        # stale — detect from footers (no Spark job) and heal.
-        lineage = store._parquet_lineage(store.table_path("extracted"))
-        actual_rows = sum(x["rows"] for x in lineage)
-        marker = store.read_marker("extracted") or {}
+        # stale (tripwire #1 above) — heal with a full rebuild.
         touched = 0
-        if marker.get("rows") != actual_rows:
+        if marker_stale:
             touched = _finalize_bookkeeping(fd, n_appended_pairs=0)
         return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
                 "hwm": str(hwm)}
@@ -120,8 +143,13 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     old_scored = store.read(spark, "pairs_scored")
     cand = cand.join(old_scored.select("src", "dst"), ["src", "dst"], "left_anti")
 
+    # batch docs may ALREADY have persisted signature rows (replay of a
+    # batch that crashed after its signatures append): drop the old copies
+    # so the union carries exactly one row per doc — duplicated sig rows
+    # would double every joined pair row and append dup pairs
     all_sigs_narrow = store.read(spark, "signatures") \
         .select("doc_id", "minhash", "simhash", "shingles") \
+        .join(new_docs.select("doc_id"), "doc_id", "left_anti") \
         .unionByName(new_sigs.select("doc_id", "minhash", "simhash", "shingles"))
     scored_new = (
         cand
@@ -162,6 +190,11 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     # similarity/containment increments derive from the PERSISTED pairs table
     # anti-joined against themselves — repairs rows a prior crash dropped
     scored_all = store.read(spark, "pairs_scored")
+    # uncommitted docs = this batch plus any crashed batch (tripwire #2);
+    # both inputs are eagerly pinned, so this set is stable across the
+    # extracted append below
+    uncommitted = uncommitted_pre \
+        .unionByName(new_docs.select("doc_id")).distinct()
     sim_new = (
         scored_all.filter(F.col("jaccard") >= cfg.threshold)
         .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
@@ -173,11 +206,8 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         from fastdup_spark.functions.lcs import lcs_confirm
         texts = fd.docs().select("doc_id", "text").unionByName(
             new_docs.select("doc_id", "text"))
-        # LCS only on sub-threshold pairs touching UNCOMMITTED docs (in
-        # signatures but not yet in extracted — this batch plus any earlier
-        # crashed batch), not the full historical pair table
-        uncommitted = store.read(spark, "signatures").select("doc_id") \
-            .join(existing_ids, "doc_id", "left_anti")
+        # LCS only on sub-threshold pairs touching UNCOMMITTED docs (this
+        # batch plus any earlier crashed batch), not the full pair table
         sub_all = scored_all.filter(F.col("jaccard") < cfg.threshold) \
             .select("src", "dst")
         sub = (
@@ -206,17 +236,45 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     ).unionByName(new_bad)
     _append(new_extracted, "extracted", partition_by=["is_valid"])
 
-    # docs whose neighbor state can have changed: endpoints of this batch's
-    # scored pairs plus every new doc (new docs need best_nn/knn rows even
-    # with zero edges) — the knn/outlier tail re-derives ONLY these
-    affected = (
-        scored_new.select(F.col("src").alias("doc_id"))
-        .unionByName(scored_new.select(F.col("dst").alias("doc_id")))
-        .unionByName(new_docs.select("doc_id"))
-        .distinct()
-    )
-    new_cc_edges = scored_new.filter(
-        F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+    # docs whose neighbor state can have changed: endpoints of the batch's
+    # pairs plus every new doc (new docs need best_nn/knn rows even with
+    # zero edges) — the knn/outlier tail re-derives ONLY these.
+    if marker_stale:
+        # tripwire #1: a prior finalize crashed after its extracted append;
+        # scoping cannot see which derived rows it left stale -> full rebuild
+        affected, new_cc_edges = None, None
+    elif n_uncommitted_pre > 0:
+        # tripwire #2: a crashed batch left persisted pairs that this
+        # replay's scored_new anti-joined away — re-derive the scope from
+        # the PERSISTED pairs table restricted to uncommitted docs, so the
+        # crashed batch's edges re-enter the CC contraction and its
+        # endpoints re-enter the knn/best_nn re-derivation
+        un = uncommitted.localCheckpoint(eager=True)
+        rel = (
+            _semi(scored_all, un, "src")
+            .unionByName(_semi(scored_all, un, "dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        affected = (
+            rel.select(F.col("src").alias("doc_id"))
+            .unionByName(rel.select(F.col("dst").alias("doc_id")))
+            .unionByName(un.select("doc_id"))
+            .distinct()
+        )
+        new_cc_edges = rel.filter(
+            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+    else:
+        # clean-history fast path: the batch's own scored increment IS the
+        # full set of new pairs — no pairs-table scan needed
+        affected = (
+            scored_new.select(F.col("src").alias("doc_id"))
+            .unionByName(scored_new.select(F.col("dst").alias("doc_id")))
+            .unionByName(new_docs.select("doc_id"))
+            .distinct()
+        )
+        new_cc_edges = scored_new.filter(
+            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     touched = _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs),
                                     affected=affected,
                                     new_cc_edges=new_cc_edges)
@@ -230,6 +288,12 @@ def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:
     return df.join(ids.withColumnRenamed("doc_id", col), col, "left_semi")
 
 
+def _shards_of(ids: DataFrame, n_shards: int, id_col: str = "doc_id") -> list[int]:
+    """Distinct shard ids of an id set — a tiny (≤ n_shards) driver list."""
+    return sorted({r[0] for r in ids.select(
+        shard_expr(id_col, n_shards).alias("s")).distinct().collect()})
+
+
 def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                           affected: DataFrame | None = None,
                           new_cc_edges: DataFrame | None = None) -> int:
@@ -239,20 +303,28 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     (ground truth) rather than incremented, so a replay healing a crashed
     batch recounts correctly instead of compounding the drift.
 
-    ``affected`` (doc_ids incident to this batch's new pairs, plus the new
-    docs) scopes the knn/best_nn re-derivation to the touched neighborhood:
+    ``affected`` (doc_ids incident to the batch's pairs, plus the new docs)
+    scopes the knn/best_nn re-derivation to the touched neighborhood:
     unaffected docs' edge sets are unchanged by construction (every new
-    edge's BOTH endpoints are in the affected set), so their knn/best_nn
-    rows carry over via anti-join. CC resolves by component-graph
-    contraction over ``new_cc_edges`` (exact — edge insertion is
-    monotone). ``affected=None`` — the crash-heal path,
-    or a store without a best_nn stage yet — recomputes everything. The
-    full-table rewrite of the carried-over rows is a parquet-store
-    limitation; on Iceberg the same plan is a MERGE on the affected set.
+    edge's BOTH endpoints are in the affected set), so their rows carry
+    over. CC resolves by component-graph contraction over ``new_cc_edges``
+    (exact — edge insertion is monotone). ``affected=None`` — the
+    crash-heal path, or a work dir whose derived tables predate the
+    current shard layout — recomputes everything.
+
+    WRITES are shard-scoped (round-3 verdict item #1): the five derived
+    tables are hash-bucketed by pmod(id, cfg.store_shards) and a batch
+    rewrites ONLY the shards containing changed rows via dynamic partition
+    overwrite — the parquet-native equivalent of Iceberg MERGE INTO. The
+    carried-over rows of untouched shards are never read or rewritten, so
+    per-batch write volume is O(touched-shard data), not O(corpus).
+    outliers/component_info contents can also SHRINK (an outlier displaced
+    by the moving percentile cut; a component label merged away) — their
+    scope comes from an old-vs-new diff and emptied shards are deleted.
 
     The `extracted` marker refreshes LAST: if a crash interrupts the
     derived-table writes, the stale marker keeps tripping the
-    rows-vs-footers heal check on the next (even fully-redelivered) batch.
+    rows-vs-footers heal check at the start of every later update.
 
     Returns the number of touched docs (== total docs on the full path).
     """
@@ -277,55 +349,84 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     scored_all = store.read(spark, "pairs_scored")
     sim_all = store.read(spark, "similarity")
     docs_all = fd.docs()
-    if affected is not None and store.read_marker("best_nn") is None:
-        affected = None  # pre-best_nn work dir: fall back to full rebuild
+    n_sh = cfg.store_shards
+
+    def _layout_ok(stage: str) -> bool:
+        p = store.shard_params(stage)
+        return p is not None and p[1] == n_sh
+
+    if affected is not None and (new_cc_edges is None or not all(
+            _layout_ok(s) for s in ("knn", "best_nn", "assignments",
+                                    "component_info", "outliers"))):
+        affected = None  # pre-shard-layout work dir: full rebuild heals it
 
     if affected is None:
         touched = counts["valid"]
-        store.write(knn_truncate(sim_all, cfg.knn_k), "knn", fd._chash,
-                    counters={"k": cfg.knn_k})
-        bn = best_neighbor(docs_all, scored_all, sim_col="jaccard")
+        store.write_sharded(knn_truncate(sim_all, cfg.knn_k), "knn",
+                            fd._chash, n_sh, counters={"k": cfg.knn_k})
+        bn = best_neighbor(docs_all, scored_all, sim_col="jaccard") \
+            .localCheckpoint(eager=True)
+        store.write_sharded(bn, "best_nn", fd._chash, n_sh)
+        out = outliers_by_percentile(store.read(spark, "best_nn"),
+                                     cfg.outlier_pct, n=counts["valid"])
+        store.write_sharded(out, "outliers", fd._chash, n_sh)
+        edges = scored_all.filter(
+            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+        asg = connected_components(edges, vertices=docs_all.select("doc_id"))
+        store.write_sharded(asg, "assignments", fd._chash, n_sh)
+        info = store.read(spark, "assignments").groupBy("component_id") \
+            .agg(F.count("*").alias("count"))
+        store.write_sharded(info, "component_info", fd._chash, n_sh,
+                            id_col="component_id")
     else:
         aff = affected.localCheckpoint(eager=True)
         touched = aff.count()
-        # knn rows for touched docs only: their full edge set is the
-        # semi-join of similarity on either endpoint
+        aff_shards = _shards_of(aff, n_sh)
+
+        # --- knn: fresh rows for affected docs; carried rows ONLY from the
+        # affected shards (partition-pruned scan), other shards untouched
         aff_sim = _semi(sim_all, aff, "src") \
             .unionByName(_semi(sim_all, aff, "dst")) \
             .dropDuplicates(["src", "dst"])
         knn_aff = knn_truncate(aff_sim, cfg.knn_k) \
             .join(aff, "doc_id", "left_semi")
-        new_knn = store.read(spark, "knn") \
-            .join(aff, "doc_id", "left_anti") \
-            .unionByName(knn_aff).localCheckpoint(eager=True)
-        store.write(new_knn, "knn", fd._chash, counters={"k": cfg.knn_k})
-        # best_nn likewise: recompute touched docs, carry the rest over
+        knn_carry = store.read(spark, "knn", keep_shard=True) \
+            .filter(F.col(SHARD_COL).isin(aff_shards)).drop(SHARD_COL) \
+            .join(aff, "doc_id", "left_anti")
+        store.overwrite_shards(knn_carry.unionByName(knn_aff), "knn",
+                               fd._chash, aff_shards)
+
+        # --- best_nn: same shape (one row per doc; never shrinks)
         aff_pairs = _semi(scored_all, aff, "src") \
             .unionByName(_semi(scored_all, aff, "dst")) \
             .dropDuplicates(["src", "dst"])
         bn_aff = best_neighbor(docs_all.join(aff, "doc_id", "left_semi"),
                                aff_pairs, sim_col="jaccard")
-        bn = store.read(spark, "best_nn") \
-            .join(aff, "doc_id", "left_anti") \
-            .unionByName(bn_aff)
+        bn_carry = store.read(spark, "best_nn", keep_shard=True) \
+            .filter(F.col(SHARD_COL).isin(aff_shards)).drop(SHARD_COL) \
+            .join(aff, "doc_id", "left_anti")
+        store.overwrite_shards(bn_carry.unionByName(bn_aff), "best_nn",
+                               fd._chash, aff_shards)
 
-    bn = bn.localCheckpoint(eager=True)
-    store.write(bn, "best_nn", fd._chash)
-    out = outliers_by_percentile(store.read(spark, "best_nn"),
-                                 cfg.outlier_pct,
-                                 n=counts["valid"])
-    store.write(out, "outliers", fd._chash)
+        # --- outliers: the percentile cut is GLOBAL (it moves with every
+        # batch), so membership is recomputed from the updated best_nn —
+        # but the write touches only shards where membership or content
+        # changed (old-vs-new doc_id diff ∪ affected docs)
+        out_new = outliers_by_percentile(
+            store.read(spark, "best_nn"), cfg.outlier_pct,
+            n=counts["valid"]).localCheckpoint(eager=True)
+        old_out_ids = store.read(spark, "outliers").select("doc_id")
+        sym_diff = old_out_ids.join(out_new.select("doc_id"), "doc_id", "left_anti") \
+            .unionByName(out_new.select("doc_id")
+                         .join(old_out_ids, "doc_id", "left_anti"))
+        out_shards = sorted(set(aff_shards) | set(_shards_of(sym_diff, n_sh)))
+        store.overwrite_shards(
+            out_new.filter(shard_expr("doc_id", n_sh).isin(out_shards)),
+            "outliers", fd._chash, out_shards)
 
-    # CC by contraction (exact — see module docstring): only the affected
-    # component-level graph is iterated; the heal path resolves globally
-    if affected is None or new_cc_edges is None \
-            or store.read_marker("assignments") is None:
-        edges = scored_all.filter(
-            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
-        asg = connected_components(edges, vertices=docs_all.select("doc_id"))
-    else:
+        # --- assignments: CC by contraction (exact — see module
+        # docstring); only shards holding relabeled or new docs rewrite
         old_asg = store.read(spark, "assignments")
-        # endpoints -> existing component labels (new docs: own id)
         lab = old_asg.select(F.col("doc_id"), F.col("component_id"))
         comp_edges = (
             new_cc_edges
@@ -337,27 +438,54 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                     F.coalesce("cb", F.col("dst")).alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        # CC over the component graph: nodes are component labels
-        # (min-doc_ids), so merged labels come out as the global min —
-        # identical to a from-scratch resolve. The merge map is
-        # affected-components-sized -> broadcast relabel join.
+        # nodes are component labels (min-doc_ids): merged labels come out
+        # as the global min — identical to a from-scratch resolve. The
+        # merge map is affected-components-sized -> broadcast relabel.
+        # identity rows (the surviving min label mapping to itself) are
+        # dropped: those docs keep their label, and keeping them would
+        # rewrite every shard of a large surviving component on every
+        # batch that brushes it
         merge_map = connected_components(comp_edges).select(
             F.col("doc_id").alias("component_id"),
-            F.col("component_id").alias("_new_comp"))
+            F.col("component_id").alias("_new_comp")) \
+            .filter(F.col("component_id") != F.col("_new_comp")) \
+            .localCheckpoint(eager=True)
         new_doc_rows = docs_all.select("doc_id") \
             .join(old_asg.select("doc_id"), "doc_id", "left_anti") \
-            .select("doc_id", F.col("doc_id").alias("component_id"))
-        asg = (
-            old_asg.unionByName(new_doc_rows)
+            .select("doc_id", F.col("doc_id").alias("component_id")) \
+            .localCheckpoint(eager=True)
+        changed_docs = old_asg.join(
+            F.broadcast(merge_map.select("component_id")),
+            "component_id", "left_semi").select("doc_id") \
+            .unionByName(new_doc_rows.select("doc_id"))
+        asg_shards = _shards_of(changed_docs, n_sh)
+        asg_part = (
+            store.read(spark, "assignments", keep_shard=True)
+            .filter(F.col(SHARD_COL).isin(asg_shards)).drop(SHARD_COL)
+            .unionByName(new_doc_rows)
             .join(F.broadcast(merge_map), "component_id", "left")
             .select("doc_id",
                     F.coalesce("_new_comp", F.col("component_id"))
                     .alias("component_id"))
-            .localCheckpoint(eager=True)  # pin before overwriting the source table
         )
-    store.write(asg, "assignments", fd._chash)
-    info = asg.groupBy("component_id").agg(F.count("*").alias("count"))
-    store.write(info, "component_info", fd._chash)
+        store.overwrite_shards(asg_part, "assignments", fd._chash, asg_shards)
+
+        # --- component_info: recount ONLY components living in shards that
+        # hold a changed label (merge sources/targets, new docs' labels);
+        # shards whose every component merged away are deleted
+        changed_cids = merge_map.select("component_id") \
+            .unionByName(merge_map.select(
+                F.col("_new_comp").alias("component_id"))) \
+            .unionByName(new_doc_rows.select(
+                F.col("component_id")))
+        cid_shards = _shards_of(changed_cids, n_sh, id_col="component_id")
+        info_part = (
+            store.read(spark, "assignments")
+            .filter(shard_expr("component_id", n_sh).isin(cid_shards))
+            .groupBy("component_id").agg(F.count("*").alias("count"))
+        )
+        store.overwrite_shards(info_part, "component_info", fd._chash,
+                               cid_shards)
 
     # refresh run_manifest so summary() reflects post-update state
     from fastdup_spark.operators.stats import summary_stats

@@ -152,3 +152,13 @@ def test_fd_vector_search_roundtrip(spark, emb, tmp_path):
     fd2 = FastdupSpark(spark, str(tmp_path / "empty"))
     with _pt.raises(ValueError):
         fd2.vector_search(q)
+
+
+def test_build_index_on_empty_embeddings_raises(spark, emb, tmp_path):
+    """Empty (or all-null) embeddings must fail with a clear error, not a
+    bare StopIteration from the dim probe (round-3 ADVICE)."""
+    from fastdup_spark import FastdupSpark
+
+    fd = FastdupSpark(spark, str(tmp_path / "emptyidx"))
+    with pytest.raises(ValueError, match="empty"):
+        fd.build_embedding_index(emb.limit(0), n_planes=4, n_bands=2)

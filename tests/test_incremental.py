@@ -113,3 +113,141 @@ def test_crash_after_extracted_append_heals_on_replay(spark, split_corpus, tmp_p
     assert counts["valid"] == fd.docs().count()
     # derived tables healed too: summary reflects the full corpus
     assert fd.summary()["total_pages"] == counts["valid"] + counts["bad"]
+
+
+def test_crash_between_pairs_and_extracted_append_replays_exactly(
+        spark, split_corpus, tmp_path):
+    """Round-3 ADVICE (medium): crash AFTER the pairs_scored append but
+    BEFORE the extracted append. The replay's own scored increment is empty
+    (anti-joined vs the persisted pairs), so the affected set / CC edges
+    must come from the persisted pairs table restricted to uncommitted
+    docs — otherwise the crashed batch's edges never merge components."""
+    import fastdup_spark.functions.lcs as lcs_mod
+
+    pages, old, new = split_corpus
+    fd = FastdupSpark(spark, str(tmp_path / "midcrash"))
+    fd.run(old)
+
+    # lcs_confirm runs after the pairs_scored/similarity appends and before
+    # the extracted append -> booming it lands the crash in that window
+    real_lcs = lcs_mod.lcs_confirm
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before extracted append")
+    lcs_mod.lcs_confirm = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fd.update(new)
+    finally:
+        lcs_mod.lcs_confirm = real_lcs
+
+    # crashed docs are in signatures+pairs_scored but not extracted
+    n_sig = fd.store.read(spark, "signatures").count()
+    n_ext = fd.store.read(spark, "extracted").count()
+    assert n_sig > n_ext
+
+    fd.update(new)  # replay of the same batch repairs and completes
+
+    fd_full = FastdupSpark(spark, str(tmp_path / "midcrash_full"))
+    fd_full.run(pages)
+    for stage, cols in (("assignments", ("doc_id", "component_id")),
+                        ("similarity", ("src", "dst")),
+                        ("knn", ("doc_id", "nn", "rank")),
+                        ("best_nn", ("doc_id", "best_sim", "best_nn")),
+                        ("outliers", ("doc_id", "best_sim", "best_nn")),
+                        ("containment", ("src", "dst"))):
+        ta = {tuple(r[c] for c in cols)
+              for r in fd.store.read(spark, stage).collect()}
+        tb = {tuple(r[c] for c in cols)
+              for r in fd_full.store.read(spark, stage).collect()}
+        assert ta == tb, f"replayed {stage} diverged from the full run"
+
+
+def test_finalize_crash_then_new_batch_heals(spark, tmp_path):
+    """Round-3 ADVICE (low): crash INSIDE finalize (after the extracted
+    append), then a LATER batch of genuinely NEW docs (no redelivery).
+    The stale extracted marker must force that batch's finalize onto the
+    full-rebuild path, healing the crashed batch's derived tables."""
+    import fastdup_spark.streaming.incremental as inc
+
+    data = generate_pages(600, seed=11)
+    pages, _, _ = pages_to_spark(spark, data)
+    pages = pages.cache()
+    t1, t2 = pages.selectExpr(
+        "percentile(cast(warc_ts as double), 0.5) p1",
+        "percentile(cast(warc_ts as double), 0.75) p2").first()
+    old = pages.filter(F.col("warc_ts").cast("double") <= t1)
+    new1 = pages.filter((F.col("warc_ts").cast("double") > t1)
+                        & (F.col("warc_ts").cast("double") <= t2))
+    new2 = pages.filter(F.col("warc_ts").cast("double") > t2)
+
+    fd = FastdupSpark(spark, str(tmp_path / "tail"))
+    fd.run(old)
+
+    real_finalize = inc._finalize_bookkeeping
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash inside finalize")
+    inc._finalize_bookkeeping = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fd.update(new1)
+    finally:
+        inc._finalize_bookkeeping = real_finalize
+
+    fd.update(new2)  # different batch; must heal new1's derived tables too
+
+    fd_full = FastdupSpark(spark, str(tmp_path / "tail_full"))
+    fd_full.run(pages)
+    for stage, cols in (("assignments", ("doc_id", "component_id")),
+                        ("knn", ("doc_id", "nn", "rank")),
+                        ("best_nn", ("doc_id", "best_sim", "best_nn")),
+                        ("outliers", ("doc_id", "best_sim", "best_nn"))):
+        ta = {tuple(r[c] for c in cols)
+              for r in fd.store.read(spark, stage).collect()}
+        tb = {tuple(r[c] for c in cols)
+              for r in fd_full.store.read(spark, stage).collect()}
+        assert ta == tb, f"{stage} not healed after finalize crash"
+    # marker is truthful again
+    assert fd.store.read_marker("extracted")["rows"] == sum(
+        x["rows"] for x in
+        fd.store._parquet_lineage(fd.store.table_path("extracted")))
+
+
+def test_crash_after_signature_append_no_duplicate_pairs(
+        spark, split_corpus, tmp_path):
+    """Crash AFTER the signatures/buckets appends but BEFORE pairs_scored:
+    the replay recomputes the batch's signatures while the table already
+    holds them — the in-memory union must not double the sig rows (which
+    would double every joined pair row and append duplicate pairs)."""
+    import fastdup_spark.operators.stats as stats_mod
+
+    pages, old, new = split_corpus
+    fd = FastdupSpark(spark, str(tmp_path / "sigcrash"))
+    fd.run(old)
+
+    real = stats_mod.doc_stats
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after signature append")
+    stats_mod.doc_stats = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fd.update(new)
+    finally:
+        stats_mod.doc_stats = real
+
+    # crashed docs' signatures are persisted, their pairs are not
+    assert fd.store.read(spark, "signatures").count() > \
+        fd.store.read(spark, "extracted").count()
+
+    fd.update(new)  # replay
+
+    for stage in ("pairs_scored", "similarity"):
+        t = fd.store.read(spark, stage)
+        assert t.count() == t.dropDuplicates(["src", "dst"]).count(), \
+            f"duplicate (src,dst) rows appended into {stage}"
+    fd_full = FastdupSpark(spark, str(tmp_path / "sigcrash_full"))
+    fd_full.run(pages)
+    a = {(r["doc_id"], r["component_id"]) for r in
+         fd.store.read(spark, "assignments").collect()}
+    b = {(r["doc_id"], r["component_id"]) for r in
+         fd_full.store.read(spark, "assignments").collect()}
+    assert a == b

@@ -13,6 +13,11 @@ FORBIDDEN = [
     (re.compile(r"\.rdd\b"), "RDD access"),
     (re.compile(r"\bsparkContext\.parallelize\b.*\.map\("), "RDD map"),
     (re.compile(r"@udf\b"), "udf decorator"),
+    # per-row Python iteration over a pandas-UDF batch column (e.g.
+    # `for url in pdf["url"]`) — vectorized ops only. Keyed to the pdf/pdfs
+    # batch-frame naming convention so driver-side post-collect rendering
+    # loops (report.py over <=num_items rows) stay allowed.
+    (re.compile(r"for\s+\w+\s+in\s+pdfs?\[[\"']"), "per-row pandas column loop"),
 ]
 
 

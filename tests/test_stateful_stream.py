@@ -3,13 +3,16 @@ survive across micro-batches AND across query restarts (checkpoint), and
 event-time windows must finalize under the watermark."""
 
 import datetime as dt
+import time
+
+import pandas as pd
 
 from pyspark.sql.types import (
     StringType, StructField, StructType, TimestampType,
 )
 
 from fastdup_spark.streaming.stateful import (
-    streaming_exact_dup_events, streaming_hourly_counts,
+    make_dup_events_fn, streaming_exact_dup_events, streaming_hourly_counts,
 )
 
 SCHEMA = StructType([
@@ -84,3 +87,113 @@ def test_watermark_window_finalization(spark, tmp_path):
     got = {r["window_start"]: r["n_pages"] for r in out2}
     assert got.get(t) == 2
     assert got.get(t + dt.timedelta(hours=1)) == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the grouped-state fn directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._val = None
+        self.timeout_set = None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+        self.exists = True
+
+    def remove(self):
+        self._val = None
+        self.exists = False
+
+    def setTimeoutDuration(self, d):
+        self.timeout_set = d
+
+
+def test_first_seen_deterministic_across_chunks():
+    """applyInPandasWithState streams one group's micro-batch rows as
+    MULTIPLE Arrow chunks; the first-seen winner must be the global
+    (warc_ts, url) minimum regardless of chunk arrival order."""
+    t = dt.datetime(2024, 1, 1)
+    late = pd.DataFrame({"content_hash": [7, 7],
+                         "url": ["https://z/9", "https://y/5"],
+                         "warc_ts": [t + dt.timedelta(hours=2)] * 2})
+    early = pd.DataFrame({"content_hash": [7],
+                          "url": ["https://a/1"],
+                          "warc_ts": [t]})
+    # the chunk holding the true first-seen row arrives LAST
+    fn = make_dup_events_fn(None)
+    out = pd.concat(list(fn((7,), iter([late, early]), _FakeState())))
+    assert set(out["first_url"]) == {"https://a/1"}
+    by_url = out.set_index("url")["is_dup"]
+    assert not by_url["https://a/1"]
+    assert by_url["https://z/9"] and by_url["https://y/5"]
+    # vectorized output dtypes match the declared schema
+    assert str(out["content_hash"].dtype) == "int64"
+    assert str(out["is_dup"].dtype) == "bool"
+
+
+def test_timed_out_invocation_evicts_and_emits_nothing():
+    st = _FakeState()
+    st.update(("https://old/1",))
+    st.hasTimedOut = True
+    fn = make_dup_events_fn("5 seconds")
+    out = pd.concat(list(fn((7,), iter([]), st)))
+    assert len(out) == 0
+    assert not st.exists, "timed-out state must be removed"
+
+
+def _run_ttl_stream(spark, indir, ckpt, transform, sink_rows, expect_rows,
+                    timeout_s=90):
+    """TTL variant of _run_stream: a query with armed ProcessingTimeTimeouts
+    never self-terminates (the state-cleanup trigger stays alive as long as
+    ANY key has a future timeout), so stop it once the batch's rows land.
+    Timed-out keys are invoked in the SAME micro-batch as the new data, so
+    eviction has already happened by then."""
+    stream = spark.readStream.schema(SCHEMA).parquet(indir)
+    q = (
+        transform(stream).writeStream
+        .foreachBatch(lambda df, _id: sink_rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    while len(sink_rows) < expect_rows and time.time() - t0 < timeout_s:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert len(sink_rows) >= expect_rows, "stream produced too few rows"
+
+
+def test_dup_state_ttl_evicts_idle_hashes(spark, tmp_path):
+    """With ttl set, a hash idle past the ttl is evicted (next micro-batch
+    times it out) and then RE-ADMITS as first-seen; without ttl the same
+    redelivery is flagged as a dup (covered by the restart test above)."""
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    t = dt.datetime(2024, 1, 1)
+    ttl_transform = lambda df: streaming_exact_dup_events(df, ttl="1 second")  # noqa: E731
+
+    _write_batch(spark, indir, [("https://a/1", t, "shared text body")])
+    ev1 = []
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev1, 1)
+    assert not ev1[0]["is_dup"]
+
+    time.sleep(2.5)  # let the processing-time ttl lapse
+    # unrelated key triggers a micro-batch -> the idle hash times out
+    _write_batch(spark, indir, [("https://b/1", t, "unrelated")])
+    ev2 = []
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev2, 1)
+    assert {r["url"] for r in ev2} == {"https://b/1"}
+
+    # same content as batch 1, new url: state was evicted -> first-seen again
+    _write_batch(spark, indir, [("https://c/1", t, "shared text body")])
+    ev3 = []
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev3, 1)
+    c = {r["url"]: r for r in ev3}["https://c/1"]
+    assert not c["is_dup"] and c["first_url"] == "https://c/1"
