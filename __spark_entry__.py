@@ -618,6 +618,47 @@ def q_minhash_lsh_dedup(spark, sf):
     )
 
 
+def q_doc_best_neighbor(spark, sf):
+    """W1 (best neighbor per doc) over the REAL text near-dup graph — the
+    operator behind the outlier stage, oracle-checked on pipeline output:
+    the edge set equals brute force at this recall point (the near_dup_pairs
+    6e-11 miss-probability argument), so DuckDB's window over its
+    brute-force pair set is an exact oracle. Jaccard is rounded to 6 BEFORE
+    the top-1 window on both engines so tie-breaks agree."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.operators.knn import best_nn_per_query
+    from fastdup_spark.plans.pipeline import near_dup_pipeline
+
+    docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
+    res = near_dup_pipeline(docs, PipelineConfig())
+    edges = res["edges"].select(
+        "src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    bn = best_nn_per_query(edges, sim_col="jaccard")
+    return bn.select("doc_id", F.col("nn").alias("best_nn"),
+                     F.col("sim").alias("best_sim"))
+
+
+def q_dedup_survivors(spark, sf):
+    """W4 keep-one-per-component decision table (the write_deduped /
+    remove_duplicates policy) over the REAL near-dup components — the drop
+    list is every non-min member of a >=2 component; DuckDB resolves the
+    same components with the recursive label-flood CTE (component_id = min
+    doc_id on both engines)."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.operators.dedup import duplicates_to_drop
+    from fastdup_spark.plans.pipeline import near_dup_pipeline
+
+    docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
+    res = near_dup_pipeline(docs, PipelineConfig())
+    return duplicates_to_drop(res["assignments"])
+
+
 def q_simhash_fingerprints(spark, sf):
     """SimHash 64-bit fingerprints (numpy pandas UDF)."""
     from fastdup_spark.config import PipelineConfig
@@ -752,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         # non-SQL (rows-only)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_best_neighbor": q_doc_best_neighbor,
+        "dedup_survivors": q_dedup_survivors,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -1374,6 +1417,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, count(*) AS count
             FROM comp GROUP BY component_id
             HAVING count(*) >= 2
+        """,
+        "doc_best_neighbor": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edgesj AS (
+              SELECT src, dst,
+                     round(icnt * CAST(1.0 AS DOUBLE)
+                           / (sa.n + sb.n - icnt), 6) AS j
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS doc_id, dst AS nn, j FROM edgesj
+              UNION ALL
+              SELECT dst AS doc_id, src AS nn, j FROM edgesj
+            )
+            SELECT doc_id, nn AS best_nn, j AS best_sim
+            FROM sym
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY j DESC, nn) = 1
+        """,
+        "dedup_survivors": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT src, dst FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            )
+            SELECT doc_id, component_id
+            FROM comp WHERE doc_id <> component_id
         """,
         "search_many": r"""
             WITH toks AS (

@@ -92,6 +92,13 @@ class StageStore:
         # footers (no extra Spark job; on Iceberg this comes from the
         # snapshot's manifest for free)
         lineage = self._parquet_lineage(path)
+        if not lineage and partition_by:
+            # an EMPTY partitioned write emits no part files at all, which
+            # makes the table unreadable (UNABLE_TO_INFER_SCHEMA). Persist
+            # the schema with a zero-row UNPARTITIONED file instead — the
+            # partition columns ride along as ordinary (empty) data columns.
+            df.limit(0).write.mode("overwrite").format(self.fmt).save(path)
+            lineage = self._parquet_lineage(path)
         marker = {
             "stage": stage,
             "config_hash": config_hash,
@@ -223,6 +230,11 @@ class StageStore:
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(SHARD_COL)
                 .save(self.table_path(stage)))
+        if not self._parquet_lineage(self.table_path(stage)):
+            # every shard emptied: keep the table readable with a zero-row
+            # schema file (same fallback as `write` on empty input)
+            out.limit(0).write.mode("overwrite").format(self.fmt) \
+                .save(self.table_path(stage))
         return self.refresh_marker(stage, config_hash, counters=counters)
 
     def read(self, spark: SparkSession, stage: str,

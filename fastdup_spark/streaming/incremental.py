@@ -171,6 +171,13 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     n_pairs = scored_new.count()
 
     def _append(df: DataFrame, stage: str, partition_by: list[str] | None = None):
+        # a zero-row stage table is a FLAT schema file (store.write empty
+        # fallback); appending hive-partitioned dirs next to it would mix
+        # layouts — replace it with a fresh partitioned write instead
+        if partition_by and not any(
+                x["rows"] for x in store._parquet_lineage(store.table_path(stage))):
+            store.write_table(df, stage, partition_by=partition_by)
+            return
         w = df.write.mode("append").format(store.fmt)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -352,8 +359,13 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     n_sh = cfg.store_shards
 
     def _layout_ok(stage: str) -> bool:
+        # scoped dynamic-overwrite needs the table to actually be laid out
+        # in _shard dirs; a zero-row stage fell back to a flat schema file
+        # (store.write empty-partitioned fallback), so take the full path —
+        # once it gains rows the full write restores the shard layout
         p = store.shard_params(stage)
-        return p is not None and p[1] == n_sh
+        m = store.read_marker(stage) or {}
+        return p is not None and p[1] == n_sh and m.get("rows", 0) > 0
 
     if affected is not None and (new_cc_edges is None or not all(
             _layout_ok(s) for s in ("knn", "best_nn", "assignments",

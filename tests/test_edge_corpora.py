@@ -55,3 +55,23 @@ def test_single_doc_pipeline(spark):
     asg = r["assignments"].collect()
     assert [(x["doc_id"], x["component_id"]) for x in asg] == [(1, 1)]
     assert r["edges"].count() == 0
+
+
+def test_update_after_empty_run(degenerate, spark):
+    """An all-quarantined initial run leaves zero-row stage tables (flat
+    schema-file fallback); a later REAL batch must replace them with the
+    partitioned layout cleanly — no mixed flat+hive layout errors."""
+    fd, _ = degenerate
+    pages = spark.createDataFrame(
+        [("https://new/1", "2024-02-01 00:00:00",
+          b"<html><p>some real paragraph text content here</p></html>", "en"),
+         ("https://new/2", "2024-02-01 00:01:00",
+          b"<html><p>another real paragraph text content here</p></html>", "en")],
+        "url string, warc_ts string, html binary, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    r = fd.update(pages)
+    assert r["new_docs"] == 2
+    assert fd.docs().count() == 2
+    assert fd.store.read(fd.spark, "extracted").count() == 7
+    assert fd.store.read(fd.spark, "best_nn").count() == 2
+    assert fd.summary()["valid_docs"] == 2
