@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--input-format", default="parquet",
                     help="parquet (default), iceberg, or warc")
+    ap.add_argument("--store-shards", type=int, default=32,
+                    help="hash-bucket count for the derived stage tables "
+                         "(size so one shard fits an executor's write "
+                         "budget; O(1e4-1e5) at 10^12 docs)")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -38,6 +42,7 @@ def main() -> None:
         threshold=args.threshold, cc_threshold=args.cc_threshold,
         shingle_k=args.shingle_k, n_perm=args.n_perm,
         lsh_bands=args.bands, lsh_rows=args.n_perm // args.bands,
+        store_shards=args.store_shards,
     )
     fd = FastdupSpark(spark, args.work_dir, cfg)
     summary = fd.run(input_path=args.input, force=args.force,
