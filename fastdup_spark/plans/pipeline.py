@@ -387,14 +387,26 @@ class FastdupSpark:
             # instead of windowing the full pair table per batch
             if not done("best_nn"):
                 bn = best_neighbor(docs, scored, sim_col="jaccard")
+                # shard files sorted by best_sim: the outlier cut's pushed
+                # range predicate skips row groups on incremental batches
                 self.store.write_sharded(bn, "best_nn", self._chash,
-                                         cfg.store_shards)
+                                         cfg.store_shards,
+                                         sort_within=["best_sim"])
             if not done("outliers"):
                 n_docs = (self.store.read_json("extract_counts") or {}).get("valid")
                 bn = self.store.read(self.spark, "best_nn")
                 out = outliers_by_percentile(bn, cfg.outlier_pct, n=n_docs)
                 self.store.write_sharded(out, "outliers", self._chash,
                                          cfg.store_shards)
+                # realized cutoff -> marker: incremental batches prune at it
+                # instead of re-running the percentile scan (outliers.py)
+                c = self.store.read(self.spark, "outliers") \
+                    .agg(F.max("best_sim")).first()[0]
+                m = self.store.read_marker("outliers") or {}
+                self.store.refresh_marker(
+                    "outliers", self._chash,
+                    counters={**m.get("counters", {}),
+                              "cutoff": None if c is None else float(c)})
 
         futs = [pool.submit(f) for f in
                 (_similarity_knn, _containment, _components, _outliers)]

@@ -166,16 +166,22 @@ class StageStore:
 
     def write_sharded(self, df: DataFrame, stage: str, config_hash: str,
                       n_shards: int, id_col: str = "doc_id",
-                      counters: dict | None = None) -> dict:
+                      counters: dict | None = None,
+                      sort_within: list[str] | None = None) -> dict:
         """Full stage write hash-bucketed into `_shard=pmod(id, n_shards)/`
         partition dirs. The pre-write repartition on the shard column keeps
         output to ~one file per shard instead of (tasks x shards) fragments.
         Shard params land in the marker counters so incremental writers can
-        verify the layout before taking the scoped path."""
+        verify the layout before taking the scoped path. ``sort_within``
+        orders rows inside each shard file, tightening parquet row-group
+        min/max stats so pushed range predicates on those columns skip
+        row groups (e.g. best_nn sorted by best_sim for the outlier cut)."""
         counters = dict(counters or {})
         counters.update({"sharded_by": id_col, "n_shards": int(n_shards)})
         out = df.withColumn(SHARD_COL, shard_expr(id_col, n_shards)) \
                 .repartition(F.col(SHARD_COL))
+        if sort_within:
+            out = out.sortWithinPartitions(SHARD_COL, *sort_within)
         return self.write(out, stage, config_hash, counters=counters,
                           partition_by=[SHARD_COL])
 
@@ -188,7 +194,8 @@ class StageStore:
 
     def overwrite_shards(self, df: DataFrame, stage: str, config_hash: str,
                          shard_ids: list[int],
-                         counters: dict | None = None) -> dict:
+                         counters: dict | None = None,
+                         sort_within: list[str] | None = None) -> dict:
         """Rewrite ONLY the shards in ``shard_ids`` of a sharded stage table:
         ``df`` replaces their content (dynamic partition overwrite — shards
         absent from ``shard_ids`` are untouched on disk), and listed shards
@@ -206,9 +213,11 @@ class StageStore:
         if counters is None:
             counters = (self.read_marker(stage) or {}).get("counters", {})
         out = df.withColumn(SHARD_COL, shard_expr(id_col, n_shards)) \
-                .repartition(F.col(SHARD_COL)) \
-                .localCheckpoint(eager=True)  # pin: df may read the very
-        #                                       shards being overwritten
+                .repartition(F.col(SHARD_COL))
+        if sort_within:
+            out = out.sortWithinPartitions(SHARD_COL, *sort_within)
+        out = out.localCheckpoint(eager=True)  # pin: df may read the very
+        #                                        shards being overwritten
         present = {r[0] for r in out.select(SHARD_COL).distinct().collect()}
         if not present <= set(shard_ids):
             raise ValueError(

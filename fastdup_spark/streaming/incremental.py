@@ -301,6 +301,18 @@ def _shards_of(ids: DataFrame, n_shards: int, id_col: str = "doc_id") -> list[in
         shard_expr(id_col, n_shards).alias("s")).distinct().collect()})
 
 
+def _record_outlier_cutoff(fd) -> None:
+    """Stamp the realized outlier cutoff (max best_sim in the written
+    table) into the outliers marker — the next batch prunes its best_nn
+    scan at this value instead of re-running the percentile job."""
+    c = fd.store.read(fd.spark, "outliers").agg(F.max("best_sim")).first()[0]
+    m = fd.store.read_marker("outliers") or {}
+    fd.store.refresh_marker(
+        "outliers", fd._chash,
+        counters={**m.get("counters", {}),
+                  "cutoff": None if c is None else float(c)})
+
+
 def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                           affected: DataFrame | None = None,
                           new_cc_edges: DataFrame | None = None) -> int:
@@ -378,10 +390,12 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                             fd._chash, n_sh, counters={"k": cfg.knn_k})
         bn = best_neighbor(docs_all, scored_all, sim_col="jaccard") \
             .localCheckpoint(eager=True)
-        store.write_sharded(bn, "best_nn", fd._chash, n_sh)
+        store.write_sharded(bn, "best_nn", fd._chash, n_sh,
+                            sort_within=["best_sim"])
         out = outliers_by_percentile(store.read(spark, "best_nn"),
                                      cfg.outlier_pct, n=counts["valid"])
         store.write_sharded(out, "outliers", fd._chash, n_sh)
+        _record_outlier_cutoff(fd)
         edges = scored_all.filter(
             F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
         asg = connected_components(edges, vertices=docs_all.select("doc_id"))
@@ -418,15 +432,22 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
             .filter(F.col(SHARD_COL).isin(aff_shards)).drop(SHARD_COL) \
             .join(aff, "doc_id", "left_anti")
         store.overwrite_shards(bn_carry.unionByName(bn_aff), "best_nn",
-                               fd._chash, aff_shards)
+                               fd._chash, aff_shards,
+                               sort_within=["best_sim"])
 
         # --- outliers: the percentile cut is GLOBAL (it moves with every
         # batch), so membership is recomputed from the updated best_nn —
-        # but the write touches only shards where membership or content
-        # changed (old-vs-new doc_id diff ∪ affected docs)
+        # but the previous batch's realized cutoff (marker counter) prunes
+        # the scan to ~k rows via a pushed row-group-skipping predicate
+        # (percentile fallback when the cut moved past it), and the write
+        # touches only shards where membership or content changed
+        # (old-vs-new doc_id diff ∪ affected docs)
+        hint = (store.read_marker("outliers") or {}) \
+            .get("counters", {}).get("cutoff")
         out_new = outliers_by_percentile(
             store.read(spark, "best_nn"), cfg.outlier_pct,
-            n=counts["valid"]).localCheckpoint(eager=True)
+            n=counts["valid"],
+            cutoff_hint=hint).localCheckpoint(eager=True)
         old_out_ids = store.read(spark, "outliers").select("doc_id")
         sym_diff = old_out_ids.join(out_new.select("doc_id"), "doc_id", "left_anti") \
             .unionByName(out_new.select("doc_id")
@@ -435,6 +456,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
         store.overwrite_shards(
             out_new.filter(shard_expr("doc_id", n_sh).isin(out_shards)),
             "outliers", fd._chash, out_shards)
+        _record_outlier_cutoff(fd)
 
         # --- assignments: CC by contraction (exact — see module
         # docstring); only shards holding relabeled or new docs rewrite
@@ -482,22 +504,52 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
         )
         store.overwrite_shards(asg_part, "assignments", fd._chash, asg_shards)
 
-        # --- component_info: recount ONLY components living in shards that
-        # hold a changed label (merge sources/targets, new docs' labels);
-        # shards whose every component merged away are deleted
-        changed_cids = merge_map.select("component_id") \
+        # --- component_info: ARITHMETIC count-merge, no table scan. Counts
+        # are additive under contraction: each surviving label's new count
+        # = its old count + Σ old counts of the labels it absorbed; a
+        # merge-graph node that is a new doc contributes 1. Every input is
+        # broadcast-sized or a shard-pruned read — neither assignments nor
+        # component_info is scanned. Absorbed labels vanish; untouched new
+        # docs become count-1 singletons.
+        nd_ids = new_doc_rows.select(
+            F.col("component_id")).localCheckpoint(eager=True)
+        refs = merge_map.select("component_id") \
             .unionByName(merge_map.select(
                 F.col("_new_comp").alias("component_id"))) \
-            .unionByName(new_doc_rows.select(
-                F.col("component_id")))
-        cid_shards = _shards_of(changed_cids, n_sh, id_col="component_id")
-        info_part = (
-            store.read(spark, "assignments")
-            .filter(shard_expr("component_id", n_sh).isin(cid_shards))
-            .groupBy("component_id").agg(F.count("*").alias("count"))
+            .distinct().localCheckpoint(eager=True)
+        ref_shards = _shards_of(refs, n_sh, id_col="component_id")
+        old_ref_counts = (
+            store.read(spark, "component_info", keep_shard=True)
+            .filter(F.col(SHARD_COL).isin(ref_shards)).drop(SHARD_COL)
+            .join(F.broadcast(refs), "component_id", "left_semi")
         )
-        store.overwrite_shards(info_part, "component_info", fd._chash,
-                               cid_shards)
+        base = (
+            refs.join(old_ref_counts, "component_id", "left")
+            .join(nd_ids.withColumn("_new1", F.lit(1)), "component_id", "left")
+            .select("component_id",
+                    F.coalesce(F.col("count"), F.col("_new1"))
+                    .cast("long").alias("cnt"))
+        )
+        absorbed = (
+            merge_map.join(base, "component_id")
+            .groupBy("_new_comp").agg(F.sum("cnt").alias("absorbed"))
+            .withColumnRenamed("_new_comp", "component_id")
+        )
+        target_rows = base.join(absorbed, "component_id") \
+            .select("component_id",
+                    (F.col("cnt") + F.col("absorbed")).alias("count"))
+        singles = nd_ids.join(refs, "component_id", "left_anti") \
+            .select("component_id", F.lit(1).cast("long").alias("count"))
+        changed_cids = refs.unionByName(nd_ids).distinct()
+        cid_shards = _shards_of(changed_cids, n_sh, id_col="component_id")
+        keep_old = (
+            store.read(spark, "component_info", keep_shard=True)
+            .filter(F.col(SHARD_COL).isin(cid_shards)).drop(SHARD_COL)
+            .join(F.broadcast(refs), "component_id", "left_anti")
+        )
+        store.overwrite_shards(
+            keep_old.unionByName(target_rows).unionByName(singles),
+            "component_info", fd._chash, cid_shards)
 
     # refresh run_manifest so summary() reflects post-update state
     from fastdup_spark.operators.stats import summary_stats
