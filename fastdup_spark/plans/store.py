@@ -227,6 +227,12 @@ class StageStore:
 
         if os.path.exists(self.marker_path(stage)):
             os.remove(self.marker_path(stage))
+        # a zero-row table sits in the FLAT fallback layout (no _shard
+        # dirs); writing hive dirs next to its schema file would mix
+        # layouts — replace it wholesale (out is already pinned above)
+        if any(not x["file"].startswith(f"{SHARD_COL}=")
+               for x in self._parquet_lineage(self.table_path(stage))):
+            shutil.rmtree(self.table_path(stage))
         # shards whose content disappeared entirely (e.g. every outlier in
         # the shard was displaced): dynamic overwrite never touches them,
         # delete their dirs explicitly

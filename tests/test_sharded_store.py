@@ -143,3 +143,20 @@ def test_overwrite_shards_deletes_emptied_shards(spark, tmp_path):
     expect = {(i, 1.0) for i in range(16) if i % 8 not in (0, 1)} | {(1, 9.0), (9, 9.0)}
     assert got == expect
     assert store.read_marker("t")["rows"] == len(expect)
+
+
+def test_overwrite_shards_replaces_flat_fallback_layout(spark, tmp_path):
+    """A zero-row sharded write falls back to a flat schema file; a later
+    overwrite_shards must replace that layout wholesale instead of writing
+    hive dirs next to it (mixed layouts are unreadable)."""
+    from fastdup_spark.plans.store import StageStore
+
+    store = StageStore(str(tmp_path / "st3"))
+    empty = spark.createDataFrame([], "doc_id long, v double")
+    store.write_sharded(empty, "t", "h", 8)
+    assert store.read(spark, "t").count() == 0  # readable via fallback file
+    rows = spark.createDataFrame([(1, 1.0), (9, 2.0)], "doc_id long, v double")
+    store.overwrite_shards(rows, "t", "h", shard_ids=[1])
+    got = {(r["doc_id"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert got == {(1, 1.0), (9, 2.0)}
+    assert store.read_marker("t")["rows"] == 2
