@@ -251,3 +251,42 @@ def test_crash_after_signature_append_no_duplicate_pairs(
     b = {(r["doc_id"], r["component_id"]) for r in
          fd_full.store.read(spark, "assignments").collect()}
     assert a == b
+
+
+def test_five_sequential_batches_match_full_run(spark, tmp_path):
+    """Multi-batch soak: errors in the scoped machinery COMPOUND across
+    batches (contraction over already-contracted labels, arithmetic
+    component counts merged on top of merged counts, outlier cutoff hints
+    reused batch over batch). Five chained updates must still be
+    bit-identical to one from-scratch run."""
+    data = generate_pages(700, seed=23)
+    pages, _, _ = pages_to_spark(spark, data)
+    pages = pages.cache()
+    part = F.pmod(F.xxhash64("url"), F.lit(6))
+
+    fd = FastdupSpark(spark, str(tmp_path / "soak"))
+    fd.run(pages.filter(part == 0))
+    for i in range(1, 6):
+        stats = fd.update(pages.filter(part == i))
+        assert stats["new_docs"] > 0
+
+    fd_full = FastdupSpark(spark, str(tmp_path / "soak_full"))
+    fd_full.run(pages)
+    for stage, cols in (("assignments", ("doc_id", "component_id")),
+                        ("component_info", ("component_id", "count")),
+                        ("similarity", ("src", "dst")),
+                        ("knn", ("doc_id", "nn", "rank")),
+                        ("best_nn", ("doc_id", "best_sim", "best_nn")),
+                        ("outliers", ("doc_id", "best_sim", "best_nn"))):
+        ta = {tuple(r[c] for c in cols)
+              for r in fd.store.read(spark, stage).collect()}
+        tb = {tuple(r[c] for c in cols)
+              for r in fd_full.store.read(spark, stage).collect()}
+        assert ta == tb, f"{stage} diverged after 5 chained batches"
+    # markers stayed truthful across the chain
+    for s in ("extracted", "knn", "best_nn", "assignments",
+              "component_info", "outliers"):
+        m = fd.store.read_marker(s)
+        rows = sum(x["rows"] for x in
+                   fd.store._parquet_lineage(fd.store.table_path(s)))
+        assert m["rows"] == rows, s
