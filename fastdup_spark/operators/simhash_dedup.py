@@ -95,7 +95,9 @@ def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
     are connected exactly via rep->member star edges).
 
     ``key_blocks=None`` (the default) AUTO-SELECTS the table scheme from
-    the data (round-3 verdict item #3): starting at ``(bands, 1)``, it
+    the data (round-3 verdict item #3): starting at ``(bands, 1)`` — or at
+    the Manku scheme directly when the caller's ``bands`` give kb=1 no
+    guarantee (``bands - max_hamming < 1``) — it
     measures the largest block population over distinct fingerprints and,
     while any block exceeds ``max_block_size`` (the salting trigger, which
     would trade away the pigeonhole guarantee), escalates to the Manku
@@ -126,7 +128,15 @@ def simhash_near_dup(sigs: DataFrame, max_hamming: int = 3, bands: int = 4,
         kb = 0
         while True:
             kb += 1
-            n_blocks = bands if kb == 1 else max_hamming + kb
+            # the pigeonhole guarantee needs n_blocks - max_hamming >= kb;
+            # caller-supplied `bands` that violate it at kb=1 (e.g.
+            # bands=4, max_hamming=4) are replaced by the Manku scheme
+            # (max_hamming + kb blocks), which satisfies it by construction
+            # — the kb=1 probe must never run without a distance guarantee
+            if kb == 1 and bands - max_hamming >= 1:
+                n_blocks = bands
+            else:
+                n_blocks = max_hamming + kb
             b = simhash_keys(reps, n_blocks=n_blocks, key_blocks=kb,
                              id_col="doc_id", fp_col="fp")
             stats = bucket_stats(b)

@@ -323,19 +323,21 @@ class FastdupSpark:
         def _similarity_knn():
             # similarity table: ALL verified edges >= threshold (the >=0.99
             # dup-pair recall contract is measured here, so no truncation)
+            sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
+                        .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
             if not done("similarity"):
-                sim = scored.filter(F.col("jaccard") >= cfg.threshold) \
-                            .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
                 self.store.write(sim, "similarity", self._chash,
                                  counters={"threshold": cfg.threshold})
             # knn table ≈ the reference's similarity.csv contract: top
             # nearest_neighbors_k=2 neighbors PER DOC, directed
             # (/root/reference/fastdup/__init__.py:486,574 — W2). Bounds the
             # reported table to <= k rows/doc even when a giant dup clique
-            # makes the full edge set quadratic in clique size.
+            # makes the full edge set quadratic in clique size. Derived
+            # straight from the in-scope filter of pairs_scored (same rows
+            # as the similarity table by construction) — no write->read
+            # barrier on the similarity write (round-4 verdict #5).
             if not done("knn"):
                 from fastdup_spark.operators.knn import knn_truncate
-                sim = self.store.read(self.spark, "similarity")
                 self.store.write_sharded(knn_truncate(sim, cfg.knn_k), "knn",
                                          self._chash, cfg.store_shards,
                                          counters={"k": cfg.knn_k})

@@ -28,12 +28,26 @@ Crash-safety model (exactly-once per batch):
     doc_stats anti-join on doc_id, pairs_scored on candidate (src,dst), and
     the similarity/containment increments are derived FROM the persisted
     pairs_scored table anti-joined against their own tables — so a replay
-    repairs a partially-applied batch instead of losing rows.
+    repairs a partially-applied batch instead of losing rows. Every one of
+    those anti-joins is SCOPED first (round-4 verdict #1): both sides are
+    left-semi-joined down to pairs touching the batch's docs (a broadcast
+    semi over a column-pruned scan — no shuffle of the full edge table),
+    exact because any pair a replay could need to repair touches a doc of
+    the batch that appended it, and appends always precede the extracted
+    append that would commit those docs.
   * the replay's derived-table scope comes from the PERSISTED pairs table,
     not the replay's own (empty, already-anti-joined) scored increment:
-    docs in `signatures` but missing from `extracted` at update start mark
-    a crashed batch, and every persisted pair touching them re-enters the
-    affected set / CC contraction (round-3 ADVICE, medium).
+    every persisted pair touching this batch's docs re-enters the
+    increment derivations / affected set / CC contraction, so a replay of
+    a batch that crashed mid-append heals it (round-3 ADVICE, medium).
+  * GHOST docs — uncommitted (in signatures, not extracted) and NOT in the
+    current batch, i.e. a crashed batch that was not redelivered — are
+    quarantined from every derivation: their pairs are deferred (excluded
+    from the similarity/containment increments, the CC contraction and the
+    knn/best_nn scope) until the doc actually commits via redelivery, and
+    the full-rebuild path filters them out of its inputs the same way
+    (round-4 ADVICE, medium: a ghost min-label would otherwise mint a
+    NULL-count component and phantom assignment rows).
   * a crash INSIDE the bookkeeping tail (after the extracted append) leaves
     the extracted marker stale; every update start compares the marker's
     row count against the parquet footers and, when stale, forces the
@@ -47,8 +61,12 @@ Crash-safety model (exactly-once per batch):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("fastdup_spark.incremental")
 
 from fastdup_spark.functions.extract import split_extracted
 from fastdup_spark.functions.signatures import with_signatures
@@ -63,7 +81,8 @@ def high_water_mark(docs: DataFrame, ts_col: str = "warc_ts"):
     return docs.agg(F.max(ts_col).alias("hwm")).collect()[0]["hwm"]
 
 
-def incremental_update(fd, new_pages: DataFrame) -> dict:
+def incremental_update(fd, new_pages: DataFrame,
+                       _debug: dict | None = None) -> dict:
     """Ingest a new batch of pages into an existing FastdupSpark work_dir.
 
     Idempotency comes from the doc_id anti-join against `extracted` (the
@@ -98,7 +117,6 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     #     must re-enter the affected set on this replay.
     uncommitted_pre = store.read(spark, "signatures").select("doc_id") \
         .join(existing_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
-    n_uncommitted_pre = uncommitted_pre.count()
     new_docs = ok.withColumn("doc_id", F.xxhash64("url")).select(
         "doc_id", "url", "warc_ts", "lang", "text")
     # batch membership = not yet in `extracted` (valid OR quarantined)
@@ -116,10 +134,24 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         # stale (tripwire #1 above) — heal with a full rebuild.
         touched = 0
         if marker_stale:
+            _LOG.info("incremental: stale extracted marker on a fully-"
+                      "redelivered batch — healing with a full rebuild")
             touched = _finalize_bookkeeping(fd, n_appended_pairs=0)
         return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
                 "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
+    new_ids = new_docs.select("doc_id")
+    # ghosts: docs a crashed batch left uncommitted that THIS batch does not
+    # redeliver — quarantined from every derivation (module docstring)
+    ghosts = uncommitted_pre.join(
+        new_ids.unionByName(new_bad.select("doc_id")), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_ghosts = bool(ghosts.head(1))
+    if has_ghosts:
+        _LOG.warning("incremental: %d uncommitted doc(s) from a crashed "
+                     "batch are not in this batch — their pairs are "
+                     "deferred until redelivery commits them",
+                     ghosts.count())
 
     new_sigs = with_signatures(new_docs, cfg).select(
         "doc_id", "minhash", "simhash", "shingles", "n_shingles"
@@ -139,9 +171,16 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    # drop pairs already scored (idempotent on replays)
+    # drop pairs already scored (idempotent on replays). The anti-join's
+    # right side is scoped to pairs touching this batch's docs first: every
+    # cand pair has a batch endpoint (the probe side is new_buckets), so
+    # this compares batch-sized sets instead of shuffling the full pair
+    # table (round-4 verdict #1).
     old_scored = store.read(spark, "pairs_scored")
-    cand = cand.join(old_scored.select("src", "dst"), ["src", "dst"], "left_anti")
+    cand = cand.join(_touching(old_scored.select("src", "dst"), new_ids),
+                     ["src", "dst"], "left_anti")
+    if _debug is not None:
+        _debug["cand_plan"] = _plan_text(cand)
 
     # batch docs may ALREADY have persisted signature rows (replay of a
     # batch that crashed after its signatures append): drop the old copies
@@ -194,39 +233,44 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
                            "doc_id", "left_anti"), "doc_stats")
     _append(scored_new, "pairs_scored")
 
-    # similarity/containment increments derive from the PERSISTED pairs table
-    # anti-joined against themselves — repairs rows a prior crash dropped
+    # similarity/containment increments derive from the PERSISTED pairs
+    # table (repairs rows a prior crash dropped), scoped to `rel_active`:
+    # pairs touching this batch's docs, minus pairs touching ghosts
+    # (deferred until the ghost commits). Exact — a committed doc's sim/
+    # containment rows are never missing (those appends precede the
+    # extracted append that commits it), so every repairable pair touches a
+    # doc committing in THIS batch. On a clean history rel_active equals
+    # this batch's own scored increment.
     scored_all = store.read(spark, "pairs_scored")
-    # uncommitted docs = this batch plus any crashed batch (tripwire #2);
-    # both inputs are eagerly pinned, so this set is stable across the
-    # extracted append below
-    uncommitted = uncommitted_pre \
-        .unionByName(new_docs.select("doc_id")).distinct()
+    rel_active = _touching(scored_all, new_ids)
+    if has_ghosts:
+        rel_active = _no_ghost(rel_active, ghosts)
+    rel_active = rel_active.localCheckpoint(eager=True)
     sim_new = (
-        scored_all.filter(F.col("jaccard") >= cfg.threshold)
+        rel_active.filter(F.col("jaccard") >= cfg.threshold)
         .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
-        .join(store.read(spark, "similarity").select("src", "dst"),
+        .join(_touching(store.read(spark, "similarity")
+                        .select("src", "dst"), new_ids),
               ["src", "dst"], "left_anti")
     )
+    if _debug is not None:
+        _debug["sim_new_plan"] = _plan_text(sim_new)
     _append(sim_new, "similarity")
     if cfg.lcs_enabled:
         from fastdup_spark.functions.lcs import lcs_confirm
         texts = fd.docs().select("doc_id", "text").unionByName(
             new_docs.select("doc_id", "text"))
-        # LCS only on sub-threshold pairs touching UNCOMMITTED docs (this
-        # batch plus any earlier crashed batch), not the full pair table
-        sub_all = scored_all.filter(F.col("jaccard") < cfg.threshold) \
-            .select("src", "dst")
+        # LCS only on rel_active's sub-threshold pairs, anti-joined against
+        # the batch-scoped slice of containment — never the full edge table
         sub = (
-            sub_all.join(uncommitted.withColumnRenamed("doc_id", "src"),
-                         "src", "left_semi")
-            .unionByName(sub_all.join(
-                uncommitted.withColumnRenamed("doc_id", "dst"),
-                "dst", "left_semi").select("src", "dst"))
-            .dropDuplicates(["src", "dst"])
-            .join(store.read(spark, "containment").select("src", "dst"),
+            rel_active.filter(F.col("jaccard") < cfg.threshold)
+            .select("src", "dst")
+            .join(_touching(store.read(spark, "containment")
+                            .select("src", "dst"), new_ids),
                   ["src", "dst"], "left_anti")
         )
+        if _debug is not None:
+            _debug["lcs_sub_plan"] = _plan_text(sub)
         pt = (
             sub.join(texts.select(F.col("doc_id").alias("src"),
                                   F.col("text").alias("text_a")), "src")
@@ -247,40 +291,24 @@ def incremental_update(fd, new_pages: DataFrame) -> dict:
     # pairs plus every new doc (new docs need best_nn/knn rows even with
     # zero edges) — the knn/outlier tail re-derives ONLY these.
     if marker_stale:
-        # tripwire #1: a prior finalize crashed after its extracted append;
+        # tripwire: a prior finalize crashed after its extracted append;
         # scoping cannot see which derived rows it left stale -> full rebuild
+        _LOG.info("incremental: stale extracted marker — taking the "
+                  "full-rebuild path to heal derived tables")
         affected, new_cc_edges = None, None
-    elif n_uncommitted_pre > 0:
-        # tripwire #2: a crashed batch left persisted pairs that this
-        # replay's scored_new anti-joined away — re-derive the scope from
-        # the PERSISTED pairs table restricted to uncommitted docs, so the
-        # crashed batch's edges re-enter the CC contraction and its
-        # endpoints re-enter the knn/best_nn re-derivation
-        un = uncommitted.localCheckpoint(eager=True)
-        rel = (
-            _semi(scored_all, un, "src")
-            .unionByName(_semi(scored_all, un, "dst"))
-            .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=True)
-        )
-        affected = (
-            rel.select(F.col("src").alias("doc_id"))
-            .unionByName(rel.select(F.col("dst").alias("doc_id")))
-            .unionByName(un.select("doc_id"))
-            .distinct()
-        )
-        new_cc_edges = rel.filter(
-            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     else:
-        # clean-history fast path: the batch's own scored increment IS the
-        # full set of new pairs — no pairs-table scan needed
+        # unified scope (clean batch AND crashed-batch replay): rel_active
+        # already holds every persisted pair touching a doc committing in
+        # this batch — a replay of a crashed batch finds its pairs here
+        # even though its own scored_new anti-joined them away. Ghost-
+        # touching edges are absent by construction (deferred).
         affected = (
-            scored_new.select(F.col("src").alias("doc_id"))
-            .unionByName(scored_new.select(F.col("dst").alias("doc_id")))
-            .unionByName(new_docs.select("doc_id"))
+            rel_active.select(F.col("src").alias("doc_id"))
+            .unionByName(rel_active.select(F.col("dst").alias("doc_id")))
+            .unionByName(new_ids)
             .distinct()
         )
-        new_cc_edges = scored_new.filter(
+        new_cc_edges = rel_active.filter(
             F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
     touched = _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs),
                                     affected=affected,
@@ -295,21 +323,53 @@ def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:
     return df.join(ids.withColumnRenamed("doc_id", col), col, "left_semi")
 
 
+def _touching(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Pairs with either endpoint in ``ids``. ``ids`` is batch-sized and
+    explicitly broadcast: two left-semi passes over a column-pruned scan —
+    the full pair table is never shuffled (round-4 verdict #1)."""
+    return (
+        pairs.join(F.broadcast(ids.withColumnRenamed("doc_id", "src")),
+                   "src", "left_semi")
+        .unionByName(pairs.join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "dst")),
+            "dst", "left_semi"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _no_ghost(pairs: DataFrame, ghosts: DataFrame) -> DataFrame:
+    """Drop pairs touching a ghost doc (``ghosts`` tiny — broadcast anti
+    on both endpoints)."""
+    return (
+        pairs.join(F.broadcast(ghosts.withColumnRenamed("doc_id", "src")),
+                   "src", "left_anti")
+        .join(F.broadcast(ghosts.withColumnRenamed("doc_id", "dst")),
+              "dst", "left_anti")
+    )
+
+
+def _plan_text(df: DataFrame) -> str:
+    """Optimized logical plan as text (scoped-read plan assertions)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def _shards_of(ids: DataFrame, n_shards: int, id_col: str = "doc_id") -> list[int]:
     """Distinct shard ids of an id set — a tiny (≤ n_shards) driver list."""
     return sorted({r[0] for r in ids.select(
         shard_expr(id_col, n_shards).alias("s")).distinct().collect()})
 
 
-def _record_outlier_cutoff(fd) -> None:
+def _record_outlier_cutoff(fd, extra: dict | None = None) -> None:
     """Stamp the realized outlier cutoff (max best_sim in the written
     table) into the outliers marker — the next batch prunes its best_nn
-    scan at this value instead of re-running the percentile job."""
+    scan at this value instead of re-running the percentile job. ``extra``
+    counters (e.g. which rank path the cut took) ride along for
+    observability/tests."""
     c = fd.store.read(fd.spark, "outliers").agg(F.max("best_sim")).first()[0]
     m = fd.store.read_marker("outliers") or {}
     fd.store.refresh_marker(
         "outliers", fd._chash,
-        counters={**m.get("counters", {}),
+        counters={**m.get("counters", {}), **(extra or {}),
                   "cutoff": None if c is None else float(c)})
 
 
@@ -370,18 +430,32 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     docs_all = fd.docs()
     n_sh = cfg.store_shards
 
+    # ghost quarantine (module docstring): docs holding signatures but not
+    # committed to `extracted` — a crashed, not-yet-redelivered batch.
+    # Their pairs are invisible to every derived table until the doc
+    # commits, on the full path exactly as on the scoped one.
+    ghosts = (store.read(spark, "signatures").select("doc_id")
+              .join(store.read(spark, "extracted").select("doc_id"),
+                    "doc_id", "left_anti").localCheckpoint(eager=True))
+    if ghosts.head(1):
+        scored_all = _no_ghost(scored_all, ghosts)
+        sim_all = _no_ghost(sim_all, ghosts)
+
     def _layout_ok(stage: str) -> bool:
-        # scoped dynamic-overwrite needs the table to actually be laid out
-        # in _shard dirs; a zero-row stage fell back to a flat schema file
-        # (store.write empty-partitioned fallback), so take the full path —
-        # once it gains rows the full write restores the shard layout
+        # scoped dynamic-overwrite needs the marker's shard params to match
+        # the current config. An EMPTY-but-marked table (flat zero-row
+        # fallback file) still qualifies: overwrite_shards replaces the
+        # flat file with shard dirs wholesale, so e.g. a knn table with
+        # zero similarity edges no longer forces O(corpus) rebuilds on
+        # every later batch (round-4 ADVICE, low).
         p = store.shard_params(stage)
-        m = store.read_marker(stage) or {}
-        return p is not None and p[1] == n_sh and m.get("rows", 0) > 0
+        return p is not None and p[1] == n_sh
 
     if affected is not None and (new_cc_edges is None or not all(
             _layout_ok(s) for s in ("knn", "best_nn", "assignments",
                                     "component_info", "outliers"))):
+        _LOG.info("incremental: derived-table shard layout predates "
+                  "store_shards=%d — taking the full-rebuild path", n_sh)
         affected = None  # pre-shard-layout work dir: full rebuild heals it
 
     if affected is None:
@@ -444,10 +518,11 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
         # (old-vs-new doc_id diff ∪ affected docs)
         hint = (store.read_marker("outliers") or {}) \
             .get("counters", {}).get("cutoff")
+        rank_stats: dict = {}
         out_new = outliers_by_percentile(
             store.read(spark, "best_nn"), cfg.outlier_pct,
             n=counts["valid"],
-            cutoff_hint=hint).localCheckpoint(eager=True)
+            cutoff_hint=hint, stats=rank_stats).localCheckpoint(eager=True)
         old_out_ids = store.read(spark, "outliers").select("doc_id")
         sym_diff = old_out_ids.join(out_new.select("doc_id"), "doc_id", "left_anti") \
             .unionByName(out_new.select("doc_id")
@@ -456,7 +531,8 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
         store.overwrite_shards(
             out_new.filter(shard_expr("doc_id", n_sh).isin(out_shards)),
             "outliers", fd._chash, out_shards)
-        _record_outlier_cutoff(fd)
+        _record_outlier_cutoff(fd, extra={
+            "rank_path": rank_stats.get("path")})
 
         # --- assignments: CC by contraction (exact — see module
         # docstring); only shards holding relabeled or new docs rewrite

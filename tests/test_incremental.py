@@ -266,9 +266,16 @@ def test_five_sequential_batches_match_full_run(spark, tmp_path):
 
     fd = FastdupSpark(spark, str(tmp_path / "soak"))
     fd.run(pages.filter(part == 0))
+    rank_paths = []
     for i in range(1, 6):
         stats = fd.update(pages.filter(part == i))
         assert stats["new_docs"] > 0
+        rank_paths.append((fd.store.read_marker("outliers") or {})
+                          .get("counters", {}).get("rank_path"))
+    # round-4 verdict #7: the previous batch's realized cutoff must keep
+    # pruning the outlier scan — a regression to per-batch percentile scans
+    # (or the full-table fallback) would show up here
+    assert all(p == "hint" for p in rank_paths), rank_paths
 
     fd_full = FastdupSpark(spark, str(tmp_path / "soak_full"))
     fd_full.run(pages)

@@ -151,3 +151,28 @@ def test_auto_key_blocks_stays_at_one_when_unskewed(spark):
     res = simhash_near_dup(df, max_hamming=3, bands=4)
     assert res["params"] == {"bands": 4, "key_blocks": 1, "max_hamming": 3,
                              "max_block_size": 5000}
+
+
+def test_auto_kb_guards_guaranteeless_first_probe(spark):
+    """Round-4 ADVICE (low): key_blocks=None with bands <= max_hamming
+    (e.g. max_hamming=4, bands=4) gave the kb=1 probe no pigeonhole
+    guarantee — pairs within distance 4 were silently missed unless a
+    block happened to trip salting. The auto path must substitute the
+    Manku scheme and find every such pair."""
+    base = 0x0123456789ABCDEF
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # distance exactly 4 from base: with bands=4 each of the 4 16-bit
+    # blocks differs -> NO shared kb=1 key; only a valid scheme finds it
+    rows = [(0, base),
+            (1, base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51)),
+            (9, base ^ 0xFFFF0000FFFF)]
+    df = spark.createDataFrame([(i, to_i64(v)) for i, v in rows],
+                               "doc_id long, simhash long")
+    res = simhash_near_dup(df, max_hamming=4, bands=4, key_blocks=None)
+    edges = {(r["src"], r["dst"]) for r in res["edges"].collect()}
+    assert (0, 1) in edges, "distance-4 pair missed by the auto scheme"
+    params = res["params"]
+    assert params["bands"] - params["max_hamming"] >= params["key_blocks"]
