@@ -65,9 +65,17 @@ def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
 
 def decode_image_meta(media: DataFrame, id_col: str = "media_id",
                       bytes_col: str = "content",
-                      deterministic_fake: bool = True) -> DataFrame:
-    """BINARY -> typed metadata with quarantine semantics (error_code)."""
-    decode = _decode_image_fake if deterministic_fake else _decode_image_real
+                      deterministic_fake: bool = True,
+                      decoder=None) -> DataFrame:
+    """BINARY -> typed metadata with quarantine semantics (error_code).
+
+    ``decoder`` (round-4 verdict #4) makes the codec boundary pluggable
+    exactly like ``fd.enrich(model_fn=...)``: a user-supplied callable
+    ``bytes -> (width, height, format)`` — e.g. a PIL/libvips body —
+    replaces the stub/fake without any other change; exceptions it raises
+    (ValueError/NotImplementedError) quarantine the row."""
+    decode = decoder if decoder is not None else (
+        _decode_image_fake if deterministic_fake else _decode_image_real)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,18 +94,32 @@ def decode_image_meta(media: DataFrame, id_col: str = "media_id",
 
 def extract_image_features(media: DataFrame, dim: int = 64,
                            id_col: str = "media_id", bytes_col: str = "content",
-                           deterministic_fake: bool = True) -> DataFrame:
+                           deterministic_fake: bool = True,
+                           feature_fn=None) -> DataFrame:
     """BINARY -> float embedding (the CNN-inference analog, d=576 in the
     reference). Fake path: seeded hash-of-bytes vector — deterministic, so
-    downstream ANN/dedup plumbing is fully testable."""
-    if not deterministic_fake:
-        raise NotImplementedError("real feature extraction needs a model runtime")
+    downstream ANN/dedup plumbing is fully testable.
+
+    ``feature_fn`` (round-4 verdict #4) plugs a real model in exactly like
+    ``fd.enrich(model_fn=...)``: a callable ``bytes -> sequence[float]``
+    (e.g. decode + CNN forward) replaces the fake; exceptions it raises
+    (ValueError/NotImplementedError) quarantine the row."""
+    if feature_fn is None and not deterministic_fake:
+        raise NotImplementedError("real feature extraction needs a model "
+                                  "runtime — pass feature_fn=")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 raw = bytes(raw) if raw is not None else b""
+                if feature_fn is not None:
+                    try:
+                        vec = np.asarray(feature_fn(raw), dtype=np.float32)
+                        rows.append((mid, vec.tolist(), None))
+                    except (ValueError, NotImplementedError) as e:
+                        rows.append((mid, None, type(e).__name__))
+                    continue
                 if len(raw) < 8:
                     rows.append((mid, None, "ValueError"))
                     continue

@@ -627,10 +627,17 @@ class FastdupSpark:
         return out
 
     # ---------------------------------------------------------- annotations
-    def set_annotations(self, annot: DataFrame | str, on: str = "url") -> None:
+    def set_annotations(self, annot: DataFrame | dict | str,
+                        on: str = "url") -> None:
         """≈ run(annotations=...): persist a user annotation table keyed by
-        url (ref fastdup_controller.py:560-586 accepts df / CSV path)."""
-        if isinstance(annot, str):
+        url. Accepts a DataFrame, a CSV path, a COCO JSON path (*.json), or
+        a COCO dict (ref fastdup_controller.py:560-586 accepts df / CSV /
+        COCO dict; the COCO flatten is sources/coco.py)."""
+        if isinstance(annot, dict) or (
+                isinstance(annot, str) and annot.endswith(".json")):
+            from fastdup_spark.sources.coco import coco_to_annotations
+            annot = coco_to_annotations(self.spark, annot)
+        elif isinstance(annot, str):
             annot = self.spark.read.option("header", True).csv(annot)
         if on not in annot.columns:
             raise ValueError(f"annotation DataFrame needs a '{on}' column")
@@ -794,7 +801,7 @@ class FastdupSpark:
         # plane sets and validate query width without touching the data
         import pyarrow.dataset as pads
         frag = pads.dataset(self.store.table_path("emb_index"),
-                            format="parquet")
+                            format=self.store.fmt)
         dim = None
         for batch in frag.to_batches(columns=[vec_col], batch_size=1024):
             col = batch.column(0)

@@ -153,15 +153,23 @@ class StageStore:
 
     @staticmethod
     def _parquet_lineage(path: str) -> list[dict]:
-        import pyarrow.parquet as pq
-
+        """Per-file row counts straight from the columnar footers (no Spark
+        job). Named for the primary format; ORC footers are read the same
+        way via pyarrow, so `StageStore(fmt="orc")` keeps the full marker/
+        lineage/resume contract (an Iceberg deployment gets this from the
+        snapshot manifest instead)."""
         out = []
         for root, _dirs, files in os.walk(path):
             for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, path)
                 if fn.endswith(".parquet"):
-                    meta = pq.ParquetFile(os.path.join(root, fn)).metadata
-                    rel = os.path.relpath(os.path.join(root, fn), path)
-                    out.append({"file": rel, "rows": meta.num_rows})
+                    import pyarrow.parquet as pq
+                    out.append({"file": rel,
+                                "rows": pq.ParquetFile(full).metadata.num_rows})
+                elif fn.endswith(".orc"):
+                    import pyarrow.orc as po
+                    out.append({"file": rel, "rows": po.ORCFile(full).nrows})
         return out
 
     def write_sharded(self, df: DataFrame, stage: str, config_hash: str,

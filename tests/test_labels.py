@@ -66,3 +66,52 @@ def test_majority_label_policy(spark):
     out = {r["doc_id"]: r["keep"] for r in majority_label_policy(asg).collect()}
     assert out[1] is True and out[2] is False and out[3] is False
     assert out[4] is True and out[5] is False
+
+
+def test_coco_annotation_roundtrip(fd, spark, tmp_path):
+    """Round-4 verdict #3 (S11): a COCO JSON dict flattens through
+    images[].file_name -> url, annotations[].category_id -> label via
+    categories[], bbox kept as col_x/row_y/width/height (ref
+    utils.py:518-565), and drives the J5 status join + J4 pair enrich."""
+    import json
+
+    urls = [r["url"] for r in fd.docs().select("url").limit(3).collect()]
+    coco = {
+        "images": [
+            {"id": 1, "file_name": urls[0], "width": 640, "height": 480},
+            {"id": 2, "file_name": urls[1], "width": 640, "height": 480},
+            {"id": 3, "file_name": "https://missing.example.com/x",
+             "width": 10, "height": 10},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 7,
+             "bbox": [0.0, 1.0, 20.0, 30.0]},
+            {"id": 11, "image_id": 2, "category_id": 8,
+             "bbox": [5.0, 5.0, 10.0, 10.0]},
+            {"id": 12, "image_id": 3, "category_id": 7,
+             "bbox": [0.0, 0.0, 1.0, 1.0]},
+        ],
+        "categories": [{"id": 7, "name": "cat"}, {"id": 8, "name": "dog"}],
+    }
+    fd.set_annotations(coco)
+    ann = fd.annotations()
+    by_status = {r["url"]: r["status"] for r in ann.collect()
+                 if r["status"] != MISSING_ANNOTATION}
+    assert by_status[urls[0]] == VALID and by_status[urls[1]] == VALID
+    assert by_status["https://missing.example.com/x"] == MISSING_DOC
+    row = {r["url"]: r for r in
+           fd.store.read(spark, "annotations").collect()}
+    assert row[urls[0]]["label"] == "cat"
+    assert (row[urls[0]]["col_x"], row[urls[0]]["height"]) == (0.0, 30.0)
+    # J4 enrich consumes the COCO labels without modification
+    fd.similarity_with_labels().limit(1).collect()
+
+    # path form: *.json routes through the same flatten
+    p = tmp_path / "coco.json"
+    p.write_text(json.dumps(coco))
+    fd.set_annotations(str(p))
+    assert fd.store.read(spark, "annotations").count() == 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fd.set_annotations({"images": []})

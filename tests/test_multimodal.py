@@ -77,3 +77,57 @@ def test_restrict_cross_set(spark):
         [(1, "train"), (2, "train"), (3, "test")], "doc_id long, split string")
     out = {(r["src"], r["dst"]) for r in restrict_cross_set(pairs, tags).collect()}
     assert out == {(1, 3), (2, 3)}
+
+
+def test_pluggable_decoder_and_features_e2e(spark, media, tmp_path):
+    """Round-4 verdict #4: a user-supplied batch codec fn plugs into the
+    decode/feature boundary exactly like fd.enrich(model_fn=...) — custom
+    decoder -> custom features -> embedding index -> vector_search, with
+    the stub path unchanged."""
+    import numpy as np
+
+    from fastdup_spark import FastdupSpark
+
+    def my_decoder(raw: bytes):
+        if len(raw) < 4:
+            raise ValueError("too short for my codec")
+        return (len(raw), 2 * len(raw), "custom")
+
+    meta = decode_image_meta(media, decoder=my_decoder)
+    ok = {r["media_id"]: r for r in meta.collect() if r["error_code"] is None}
+    some_id = next(iter(ok))
+    assert ok[some_id]["format"] == "custom"
+    assert ok[some_id]["height"] == 2 * ok[some_id]["width"]
+    bad = meta.filter("error_code = 'ValueError'").count()
+    assert bad == 2  # b"bad" (len 3) and NULL
+
+    def my_features(raw: bytes):
+        if len(raw) < 4:
+            raise ValueError("too short")
+        v = np.frombuffer((raw * 8)[:32], dtype=np.uint8).astype(np.float32)
+        return v / (np.linalg.norm(v) + 1e-9)
+
+    feats = extract_image_features(media, feature_fn=my_features)
+    good = feats.filter("error_code IS NULL")
+    assert good.count() == 50 and len(good.first()["embedding"]) == 32
+    # determinism across partitionings (worker-independent codec contract)
+    a = sorted((r["media_id"], tuple(r["embedding"])) for r in good.collect())
+    b = sorted((r["media_id"], tuple(r["embedding"])) for r in
+               extract_image_features(media.repartition(7),
+                                      feature_fn=my_features)
+               .filter("error_code IS NULL").collect())
+    assert a == b
+
+    # downstream: index + search over the custom embeddings
+    fd = FastdupSpark(spark, str(tmp_path / "media_idx"))
+    fd.build_embedding_index(
+        good.select(F.col("media_id").alias("vec_id"), "embedding"),
+        n_planes=6, n_bands=4)
+    q = [r["embedding"] for r in good.limit(1).collect()][0]
+    hits = fd.vector_search(q, k=3).collect()
+    assert len(hits) == 3 and hits[0]["cosine"] >= hits[-1]["cosine"]
+
+    # stub path unchanged
+    stub = decode_image_meta(media, deterministic_fake=False)
+    assert all(r["error_code"] == "NotImplementedError"
+               for r in stub.collect())
