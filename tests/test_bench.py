@@ -29,3 +29,12 @@ def test_bench_json_contract():
     assert "dedup_pipeline" in d["queries"]
     assert d["dedup_docs_per_hour"] > 0
     assert d["summary"]["valid_docs"] > 0
+    # round-4 verdict #9: incremental-update field — scoped path engaged
+    # (touched << corpus) and the shard-scoped write contract visible
+    inc = d["incremental"]
+    assert inc["update_sec"] > 0 and inc["batch_docs"] > 0
+    assert 0 < inc["touched_docs"] < d["summary"]["valid_docs"]
+    assert set(inc["shards_rewritten"]) == {
+        "knn", "best_nn", "assignments", "component_info", "outliers"}
+    assert all(v <= inc["store_shards"]
+               for v in inc["shards_rewritten"].values())
