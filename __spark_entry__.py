@@ -343,6 +343,33 @@ def q_embedding_label_counts(spark, sf):
     )
 
 
+def q_embedding_cosine_pairs(spark, sf):
+    """Embedding-cosine near-dup PAIRS, brute force (cosine >= 0.35) — the
+    exact-baseline form of embedding near-duplicate detection (the brief's
+    'embedding-cosine near-dup' dedup row). Deliberately all-pairs via a
+    broadcast nested-loop self-join so the oracle can brute-force the same
+    set; the scale path is operators/crossset.embedding_near_dup
+    (hyperplane-LSH bucket self-join -> cosine verify -> CC, same plan
+    shape as MinHash-LSH) with ann_cosine_lsh as the query-time probe.
+    Cosine is rounded to 3 in BOTH engines BEFORE the threshold so the
+    filter decision is bit-identical; +0.0 normalizes IEEE -0.0."""
+    from fastdup_spark.functions.similarity import cosine_expr
+
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("src"),
+                 F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"),
+                 F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        .withColumn("cosine",
+                    F.round(cosine_expr(F.col("va"), F.col("vb")), 3)
+                    + F.lit(0.0))
+        .filter(F.col("cosine") >= 0.35)
+        .select("src", "dst", "cosine")
+    )
+
+
 # --- relational coverage (J/A/W/T/F rows of SURVEY §2) ---------------------
 
 def q_lineitem_pricing_summary(spark, sf):
@@ -770,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_tagged": q_union_tagged,
         # embeddings
         "cosine_to_query": q_cosine_to_query,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_label_counts": q_embedding_label_counts,
         # relational (SURVEY §2 J/A/W/T/F)
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -1123,6 +1151,20 @@ def oracle_sql() -> dict[str, str]:
                               x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))),
                    3) + 0.0 AS cosine
             FROM embeddings e, q WHERE e.vec_id <> 0
+        """,
+        "embedding_cosine_pairs": """
+            SELECT src, dst, cosine FROM (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> cast(p[1] AS DOUBLE) * cast(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                                x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding,
+                                x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))),
+                     3) + 0.0 AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) t WHERE cosine >= 0.35
         """,
         "embedding_label_counts": """
             SELECT label, count(*) AS n, min(vec_id) AS min_vec_id
