@@ -157,22 +157,52 @@ def test_empty_derived_tables_keep_scoped_path(spark, tmp_path):
 
 
 def test_scoped_antijoin_plans(spark, tmp_path):
-    """Round-4 verdict #1 'done' criterion: the idempotency anti-joins run
-    over batch-scoped inputs — their optimized plans must carry the
-    left-semi scoping joins, not bare full-table scans."""
+    """Round-4 verdict #1 'done' criterion, tightened round 5: on a CLEAN
+    history the idempotency anti-joins are skipped outright (footer-count
+    tripwire — no pair-table or similarity reads at all), and on a crash
+    replay they run over batch-scoped (left-semi, broadcast) inputs — never
+    a bare full-table shuffle."""
+    import fastdup_spark.functions.lcs as lcs_mod
+
     data = generate_pages(200, seed=7)
     pages, _, _ = pages_to_spark(spark, data)
     cutoff = pages.selectExpr(
         "percentile(cast(warc_ts as double), 0.6) p").first()["p"]
     fd = FastdupSpark(spark, str(tmp_path / "plans"))
     fd.run(pages.filter(F.col("warc_ts").cast("double") <= cutoff))
+    batch = pages.filter(F.col("warc_ts").cast("double") > cutoff)
 
+    # clean batch: fast path — membership via broadcast, zero anti-joins
     dbg = {}
-    incremental_update(
-        fd, pages.filter(F.col("warc_ts").cast("double") > cutoff),
-        _debug=dbg)
+    incremental_update(fd, batch, _debug=dbg)
+    assert dbg["clean_history"] is True
+    assert dbg["membership"] == "broadcast"
+    assert "strategy=broadcast" in dbg["membership_plan"]
+    assert "LeftAnti" not in dbg["cand_plan"]
+    # sim/lcs increments derive from the pinned batch increment only — no
+    # table scan in the plan at all
+    for key in ("sim_new_plan", "lcs_sub_plan"):
+        assert "parquet" not in dbg[key], f"{key} reads a table:\n{dbg[key]}"
+        assert "Join" not in dbg[key], f"{key} grew a join:\n{dbg[key]}"
+
+    # crash replay: scoped anti-joins with broadcast semi inputs
+    more = pages.filter(F.col("warc_ts").cast("double") <= cutoff) \
+        .withColumn("url", F.concat(F.col("url"), F.lit("?v=2")))
+    real_lcs = lcs_mod.lcs_confirm
+    def boom(*a, **k):
+        raise RuntimeError("crash before extracted append")
+    lcs_mod.lcs_confirm = boom
+    try:
+        with pytest.raises(RuntimeError):
+            fd.update(more)
+    finally:
+        lcs_mod.lcs_confirm = real_lcs
+
+    dbg2 = {}
+    incremental_update(fd, more, _debug=dbg2)  # replay
+    assert dbg2["clean_history"] is False
     for key in ("cand_plan", "sim_new_plan", "lcs_sub_plan"):
-        plan = dbg[key]
+        plan = dbg2[key]
         assert "LeftAnti" in plan, key
         # the scoping: at least the two left-semi passes of _touching on
         # the anti-join's persisted-table side
