@@ -738,19 +738,27 @@ def q_ann_cosine_lsh(spark, sf):
 _KMEANS_CACHE: dict = {}
 
 
-def _kmeans_assignments_cached(spark, sf, k=8, n_iter=2):
-    """Both kmeans queries share one fit: the Lloyd loop runs driver-side
-    collects per round, so rerunning it per query doubled the cost of every
-    driver/bench pass. The checkpointed assignments frame is memoized per
-    (sf, k, n_iter) for the life of the process."""
+def _kmeans_fit_cached(spark, sf, k=8, n_iter=2):
+    """The kmeans + IVF queries share one fit: the Lloyd loop runs
+    driver-side collects per round, so rerunning it per query doubled the
+    cost of every driver/bench pass. The checkpointed assignments frame
+    and the collected centroid rows are memoized per (sf, k, n_iter) for
+    the life of the process."""
     from fastdup_spark.operators.kmeans import kmeans_fit
 
     key = (sf, k, n_iter)
     if key not in _KMEANS_CACHE:
         e = _t(spark, sf, "embeddings")
-        _KMEANS_CACHE[key] = kmeans_fit(
-            e, k=k, n_iter=n_iter)["assignments"].localCheckpoint(eager=True)
+        fit = kmeans_fit(e, k=k, n_iter=n_iter)
+        _KMEANS_CACHE[key] = {
+            "assignments": fit["assignments"].localCheckpoint(eager=True),
+            "centroids": fit["centroids"].collect(),
+        }
     return _KMEANS_CACHE[key]
+
+
+def _kmeans_assignments_cached(spark, sf, k=8, n_iter=2):
+    return _kmeans_fit_cached(spark, sf, k, n_iter)["assignments"]
 
 
 def q_kmeans_assignments(spark, sf):
@@ -768,6 +776,36 @@ def q_kmeans_centroid_stats(spark, sf):
     return asg.groupBy("cluster").agg(
         F.count("*").alias("size"),
         F.round(F.avg("distance"), 4).alias("avg_dist"))
+
+
+def q_ann_cosine_ivf(spark, sf, nprobe=3, k=10):
+    """IVF ANN probe, fully oracle-checked: the shared deterministic KMeans
+    fit is the coarse quantizer (its assignments are the inverted lists and
+    are themselves oracle-green), the query (vec_id=0) probes its `nprobe`
+    nearest centroids (squared distance rounded to 6 so the list choice is
+    stable across float summation orders, ties to the lowest list), and
+    the exact cosine ranks only those lists' members. Deterministic end to
+    end -> DuckDB replays the identical trajectory, unlike the
+    hyperplane-LSH probe (ann_cosine_lsh, rows-only). Cosine rounded to 3
+    in BOTH engines BEFORE the top-k so the cut is identical."""
+    from fastdup_spark.functions.similarity import cosine_expr
+    from fastdup_spark.operators.knn import probe_lists
+
+    fit = _kmeans_fit_cached(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    lists = probe_lists(fit["centroids"], qv, nprobe=nprobe)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    members = fit["assignments"] \
+        .filter(F.col("cluster").isin(lists) & (F.col("vec_id") != 0))
+    return (
+        members.join(e.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id",
+                (F.round(cosine_expr(F.col("embedding").cast("array<double>"),
+                                     q), 3) + F.lit(0.0)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -829,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans: deterministic Lloyd's -> fully oracle-checked (was rows-only)
         "kmeans_assignments": q_kmeans_assignments,
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
+        # IVF ANN: deterministic coarse quantizer -> fully oracle-checked
+        "ann_cosine_ivf": q_ann_cosine_ivf,
     }
 
 
@@ -911,6 +951,43 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     parts.append(assign.format(i=n_iter, cent=f"c{n_iter}"))
     return "WITH " + ",".join(parts) + f"""
         SELECT vec_id, cluster, round(d, 4) AS distance FROM asg{n_iter}"""
+
+
+def _ivf_oracle_sql(nprobe: int = 3, kk: int = 10,
+                    k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """IVF probe over the SAME unrolled Lloyd's trajectory as the kmeans
+    oracle: asg{n} are the inverted lists, c{n} the coarse centroids; the
+    query (vec_id=0) picks its nprobe nearest centroids (squared distance
+    rounded to 6, ties to the lowest list — matching
+    operators/knn.probe_lists), then exact cosine over those lists only."""
+    base = _kmeans_oracle_sql(k=k, n_iter=n_iter, dim=dim)
+    with_body = base[len("WITH "):base.rindex("SELECT vec_id, cluster")]
+    with_body = with_body.rstrip().rstrip(",")
+    cdist = """round(list_sum(list_transform(list_zip(c.cv, q.qv),
+                     p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"""
+    return f"""
+        WITH {with_body},
+        q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+        probe AS (
+          SELECT cluster FROM (
+            SELECT c.cluster,
+                   row_number() OVER (ORDER BY {cdist}, c.cluster) AS rn
+            FROM c{n_iter} c CROSS JOIN q) WHERE rn <= {nprobe}
+        )
+        SELECT vec_id, cosine FROM (
+          SELECT a.vec_id,
+                 round(
+                   list_sum(list_transform(list_zip(e.v, q.qv),
+                            p -> p[1]*p[2]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x*x)))),
+                 3) + 0.0 AS cosine
+          FROM asg{n_iter} a
+          JOIN probe USING (cluster)
+          JOIN ev e USING (vec_id)
+          CROSS JOIN q
+          WHERE a.vec_id <> 0
+        ) ORDER BY cosine DESC, vec_id LIMIT {kk}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1600,4 +1677,5 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(distance), 4) AS avg_dist
             FROM base GROUP BY cluster
         """,
+        "ann_cosine_ivf": _ivf_oracle_sql(),
     }

@@ -1,5 +1,6 @@
 """k-NN style operators: truncation windows, similarity search, and
-embedding ANN (brute-force cosine baseline + LSH-bucketed scale path).
+embedding ANN (brute-force cosine baseline + two scale paths: hyperplane
+LSH buckets and an IVF coarse-quantizer index).
 
 Reference analogs: the C++ engine keeps ``nearest_neighbors_k`` (default 2)
 neighbors per item (/root/reference/fastdup/__init__.py:486,574 — W2);
@@ -165,6 +166,70 @@ def cosine_topk_lsh(bucketed: DataFrame, query: list[float] | np.ndarray,
         .dropDuplicates([id_col])
         .select(F.col(id_col),
                 cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_index(embeddings: DataFrame, n_lists: int = 16, n_iter: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> dict[str, DataFrame]:
+    """IVF (inverted-file) ANN index — the coarse-quantizer alternative to
+    the hyperplane-LSH index: a deterministic KMeans (operators/kmeans)
+    partitions the corpus into ``n_lists`` Voronoi cells; each vector is
+    stored under its nearest centroid ("list"). A probe then scans only
+    the ``nprobe`` lists nearest the query instead of the whole corpus.
+
+    Returns {"index": (id, vec, list_id), "centroids": (cluster, size,
+    centroid)}. At scale, persist ``index`` partitioned by ``list_id``
+    (same file-pruning shape as the LSH bucket table: a probe reads
+    nprobe/n_lists of the data) and size n_lists ~ sqrt(n).
+    """
+    from fastdup_spark.operators.kmeans import kmeans_fit
+
+    fit = kmeans_fit(embeddings, k=n_lists, n_iter=n_iter,
+                     id_col=id_col, vec_col=vec_col)
+    index = (
+        fit["assignments"].select(id_col, F.col("cluster").alias("list_id"))
+        .join(embeddings.select(id_col, vec_col), id_col)
+    )
+    return {"index": index, "centroids": fit["centroids"]}
+
+
+def probe_lists(centroids, query: "list[float] | np.ndarray",
+                nprobe: int = 4, dist_round: int = 6) -> list[int]:
+    """The ``nprobe`` list ids nearest the query (squared euclidean,
+    rounded to ``dist_round`` to keep the selection stable across float
+    summation orders; ties break to the lowest list id). ``centroids`` is
+    the small (cluster, centroid) frame or a collected list of rows."""
+    qv = np.asarray(query, dtype=np.float64)
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else centroids
+    scored = sorted(
+        (round(float(np.square(qv - np.asarray(r["centroid"],
+                                               dtype=np.float64)).sum()),
+               dist_round), int(r["cluster"]))
+        for r in rows)
+    return [c for _, c in scored[:nprobe]]
+
+
+def cosine_topk_ivf(index: DataFrame, centroids, query,
+                    k: int = 10, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> DataFrame:
+    """Approximate top-k over an `ivf_index`: exact cosine on the vectors
+    of the ``nprobe`` nearest lists only. With ``nprobe == n_lists`` this
+    degenerates to the exact brute-force ranking (every list scanned) —
+    the correctness anchor the tests pin. The list filter is a pushable
+    IN-predicate: on a list_id-partitioned index table it prunes files.
+    """
+    qv = np.asarray(query, dtype=np.float64)
+    lists = probe_lists(centroids, qv, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        index.filter(F.col("list_id").isin(lists))
+        .select(F.col(id_col),
+                cosine_expr(F.col(vec_col).cast("array<double>"), q)
+                .alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

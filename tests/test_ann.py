@@ -162,3 +162,53 @@ def test_build_index_on_empty_embeddings_raises(spark, emb, tmp_path):
     fd = FastdupSpark(spark, str(tmp_path / "emptyidx"))
     with pytest.raises(ValueError, match="empty"):
         fd.build_embedding_index(emb.limit(0), n_planes=4, n_bands=2)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file, KMeans coarse quantizer) — the second ANN scale path
+# ---------------------------------------------------------------------------
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe == n_lists scans every list -> must equal the exact
+    brute-force ranking (same order, same cosines)."""
+    from fastdup_spark.operators.knn import cosine_topk_ivf, ivf_index
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    ix = ivf_index(rest, n_lists=8)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in
+           cosine_topk_ivf(ix["index"], ix["centroids"], qv,
+                           k=K, nprobe=8).collect()]
+    truth = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             cosine_topk_bruteforce(rest, qv, k=K).collect()]
+    assert got == truth
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On data with real cluster structure (the regime IVF exists for), a
+    2-of-8-list probe must find >= 0.9 of the true top-10 while scanning a
+    strict subset of the corpus."""
+    from fastdup_spark.operators.knn import cosine_topk_ivf, ivf_index
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = rng.standard_normal((8, 32)) * 5.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.standard_normal(32) * 0.3)
+                     .astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = df.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = df.filter(F.col("vec_id") != 0)
+    ix = ivf_index(rest, n_lists=8)
+    ix["index"] = ix["index"].cache()
+    truth = {r["vec_id"] for r in
+             cosine_topk_bruteforce(rest, qv, k=K).collect()}
+    got_df = cosine_topk_ivf(ix["index"], ix["centroids"], qv, k=K, nprobe=2)
+    got = {r["vec_id"] for r in got_df.collect()}
+    assert len(truth & got) / len(truth) >= 0.9
+    # the probe really prunes: candidate lists < all lists
+    from fastdup_spark.operators.knn import probe_lists
+    lists = probe_lists(ix["centroids"], qv, nprobe=2)
+    n_scanned = ix["index"].filter(F.col("list_id").isin(lists)).count()
+    assert 0 < n_scanned < rest.count()
