@@ -217,6 +217,7 @@ def incremental_update(fd, new_pages: DataFrame,
                       "redelivered batch — healing with a full rebuild")
             touched = _finalize_bookkeeping(fd, n_appended_pairs=0)
         return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
+                "path": "heal_rebuild" if marker_stale else "noop",
                 "hwm": str(hwm)}
     new_docs = new_docs.localCheckpoint(eager=True)
     new_ids = new_docs.select("doc_id")
@@ -422,8 +423,14 @@ def incremental_update(fd, new_pages: DataFrame,
     hwm_out = _footer_hwm(store)
     if hwm_out is None:
         hwm_out = high_water_mark(store.read(spark, "extracted"))
+    # which ingest path ran — observability for operators and tests:
+    # "clean" = zero idempotency anti-joins (footer tripwire), "replay" =
+    # batch-scoped repair of a crashed history, "full_rebuild" = stale
+    # marker forced the derived tables to rebuild from scratch
+    path = ("full_rebuild" if marker_stale
+            else "clean" if clean_history else "replay")
     return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
-            "touched_docs": touched, "hwm": str(hwm_out)}
+            "touched_docs": touched, "path": path, "hwm": str(hwm_out)}
 
 
 def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:

@@ -270,6 +270,7 @@ def test_five_sequential_batches_match_full_run(spark, tmp_path):
     for i in range(1, 6):
         stats = fd.update(pages.filter(part == i))
         assert stats["new_docs"] > 0
+        assert stats["path"] == "clean"  # footer tripwire: no anti-joins
         rank_paths.append((fd.store.read_marker("outliers") or {})
                           .get("counters", {}).get("rank_path"))
     # round-4 verdict #7: the previous batch's realized cutoff must keep

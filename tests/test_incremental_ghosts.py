@@ -68,6 +68,7 @@ def test_ghost_batch_not_redelivered_defers_cleanly(
 
     stats = fd.update(new2)  # different batch; new1 is NOT redelivered
     assert stats["new_docs"] > 0
+    assert stats["path"] == "replay"  # ghosts present -> scoped repair path
     # scoped path engaged (a ghost must not force the full rebuild)
     assert 0 < stats["touched_docs"] < fd.docs().count()
 
@@ -138,6 +139,7 @@ def test_empty_derived_tables_keep_scoped_path(spark, tmp_path):
 
     stats = fd.update(_unique_pages(spark, 12, start=100))
     # ADVICE (low): empty-but-marked tables must NOT force the full path
+    assert stats["path"] == "clean"
     assert stats["touched_docs"] == 12, \
         "empty derived table downgraded the update to a full rebuild"
 
