@@ -210,3 +210,22 @@ def test_scoped_antijoin_plans(spark, tmp_path):
         # the anti-join's persisted-table side
         assert plan.count("LeftSemi") >= 2, \
             f"{key} lost the batch-size scoping:\n{plan}"
+
+
+def test_bulk_backfill_membership_fallback(spark, tmp_path, monkeypatch):
+    """Batches above _BROADCAST_BATCH_MAX must fall back to the shuffled
+    membership anti-join and still produce the identical result."""
+    import fastdup_spark.streaming.incremental as inc
+
+    fd = FastdupSpark(spark, str(tmp_path / "bulk"))
+    fd.run(_unique_pages(spark, 12))
+    monkeypatch.setattr(inc, "_BROADCAST_BATCH_MAX", 1)
+    dbg = {}
+    stats = incremental_update(fd, _unique_pages(spark, 12, start=100),
+                               _debug=dbg)
+    assert dbg["membership"] == "shuffle"
+    assert stats["new_docs"] == 12 and stats["path"] == "clean"
+    # redelivery still drops out through the fallback join
+    monkeypatch.setattr(inc, "_BROADCAST_BATCH_MAX", 1)
+    stats2 = fd.update(_unique_pages(spark, 12, start=100))
+    assert stats2["new_docs"] == 0 and stats2["path"] == "noop"
