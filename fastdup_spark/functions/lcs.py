@@ -78,9 +78,32 @@ def _align_windows(ta: str, tb: str, cap: int) -> tuple[str, str]:
 def lcs_length(s: str, t: str) -> int:
     """Longest common substring length via a suffix automaton of ``s``.
 
-    Standard construction (Blumer et al. 1985): build SAM of s in O(|s|),
-    then stream t through it tracking current match length.
+    Dispatches to the compiled kernel when available (functions/
+    lcs_native.py — compiled once per worker host, bit-identical results,
+    fuzz-pinned by tests/test_lcs_native.py); the pure-Python construction
+    below (Blumer et al. 1985) is the reference implementation and the
+    automatic fallback when no C toolchain is present.
     """
+    if not s or not t:
+        return 0
+    lib = _native_lib()
+    if lib is not None:
+        a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        r = int(lib.lcs_len_u32(a.ctypes.data, len(a), b.ctypes.data, len(b)))
+        if r >= 0:
+            return r
+        # r < 0: allocation failure inside the kernel — fall through
+    return _lcs_length_py(s, t)
+
+
+def _native_lib():
+    from fastdup_spark.functions.lcs_native import native_lib
+    return native_lib()
+
+
+def _lcs_length_py(s: str, t: str) -> int:
+    """Pure-Python SAM (reference implementation for the native kernel)."""
     if not s or not t:
         return 0
     # SAM arrays: link, length, transitions (list of dicts)

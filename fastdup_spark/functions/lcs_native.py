@@ -1,0 +1,215 @@
+"""Optional compiled LCS kernel (suffix automaton in C via ctypes).
+
+`functions/lcs.py`'s per-pair suffix automaton is the engine's one
+pure-Python CPU kernel (round-4 verdict, minor #3) — there is no vectorized
+form of SAM construction, so the honest fix is a compiled kernel. The C
+source lives INSIDE this .py module so the `--py-files` deploy zip ships it
+(scripts/package.sh zips only .py); each worker host compiles it ONCE into
+a content-hashed shared object under the system temp dir (atomic rename —
+concurrent workers race safely) and loads it with ctypes. Anything missing
+— no gcc, compile error, load error — falls back to the pure-Python SAM,
+which remains the reference implementation (`tests/test_lcs_native.py`
+fuzz-pins bit-identical lengths).
+
+Kernel design notes:
+  * transitions live in ONE open-addressed hash (key = state<<32 | char,
+    epoch-stamped slots — no per-call memset) plus per-state linked lists
+    for the clone-copy step; SAM bounds: <= 2n states, <= 3n transitions.
+  * all buffers are process-static and realloc-grown — never freed — per
+    the sandbox quirk that fresh multi-MB allocations are slow; Spark
+    python workers are long-lived processes, so the cost amortizes.
+  * alphabet is full uint32 (the Python side hands utf-32 code units), so
+    results match the str-keyed dict automaton exactly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+
+_LOG = logging.getLogger("fastdup_spark.lcs_native")
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef struct { int64_t key; int32_t node; int32_t stamp; } Slot;
+
+static Slot    *g_tab = 0;   static int64_t g_tabcap = 0;   /* pow2 */
+static int32_t  g_epoch = 0;
+static int32_t *g_len = 0, *g_link = 0, *g_head = 0;
+static int64_t  g_statecap = 0;
+static uint32_t *g_tch = 0;  static int32_t *g_tto = 0, *g_tnx = 0;
+static int64_t  g_transcap = 0;
+static int32_t  g_nstates = 0, g_ntrans = 0;
+
+static int ensure(int64_t n) {
+    int64_t sc = 2 * n + 8, tc = 3 * n + 16;
+    if (sc > g_statecap) {
+        g_len  = (int32_t*)realloc(g_len,  sc * sizeof(int32_t));
+        g_link = (int32_t*)realloc(g_link, sc * sizeof(int32_t));
+        g_head = (int32_t*)realloc(g_head, sc * sizeof(int32_t));
+        if (!g_len || !g_link || !g_head) return 0;
+        g_statecap = sc;
+    }
+    if (tc > g_transcap) {
+        g_tch = (uint32_t*)realloc(g_tch, tc * sizeof(uint32_t));
+        g_tto = (int32_t*)realloc(g_tto, tc * sizeof(int32_t));
+        g_tnx = (int32_t*)realloc(g_tnx, tc * sizeof(int32_t));
+        if (!g_tch || !g_tto || !g_tnx) return 0;
+        g_transcap = tc;
+    }
+    int64_t want = 4 * tc;           /* load factor <= 0.75 */
+    if (want > g_tabcap) {
+        int64_t cap = 64;
+        while (cap < want) cap <<= 1;
+        free(g_tab);
+        g_tab = (Slot*)calloc(cap, sizeof(Slot));
+        if (!g_tab) { g_tabcap = 0; return 0; }
+        g_tabcap = cap;
+        g_epoch = 0;                 /* calloc zeroed the stamps */
+    }
+    return 1;
+}
+
+/* splitmix64 finalizer: keys are (state<<32|ch) with sequentially
+   increasing states, so a bare multiply leaves low result bits constant
+   across states — full avalanche is required or linear probing clusters
+   into a handful of runs and construction goes quadratic. */
+static inline int64_t mix(int64_t key) {
+    uint64_t x = (uint64_t)key;
+    x ^= x >> 30; x *= 0xBF58476D1CE4E5B9ULL;
+    x ^= x >> 27; x *= 0x94D049BB133111EBULL;
+    x ^= x >> 31;
+    return (int64_t)x;
+}
+
+/* returns transition-node index for (state, ch), or -1 */
+static inline int32_t find_node(int32_t st, uint32_t ch) {
+    int64_t key = ((int64_t)st << 32) | (int64_t)ch;
+    int64_t mask = g_tabcap - 1, i = mix(key) & mask;
+    for (;;) {
+        Slot *s = &g_tab[i];
+        if (s->stamp != g_epoch) return -1;
+        if (s->key == key) return s->node;
+        i = (i + 1) & mask;
+    }
+}
+
+/* inserts a NEW transition (st, ch) -> to; caller guarantees absence */
+static inline void put(int32_t st, uint32_t ch, int32_t to) {
+    int32_t e = g_ntrans++;
+    g_tch[e] = ch; g_tto[e] = to; g_tnx[e] = g_head[st]; g_head[st] = e;
+    int64_t key = ((int64_t)st << 32) | (int64_t)ch;
+    int64_t mask = g_tabcap - 1, i = mix(key) & mask;
+    while (g_tab[i].stamp == g_epoch) i = (i + 1) & mask;
+    g_tab[i].key = key; g_tab[i].node = e; g_tab[i].stamp = g_epoch;
+}
+
+int64_t lcs_len_u32(const uint32_t *s, int64_t n, const uint32_t *t, int64_t m) {
+    if (n <= 0 || m <= 0) return 0;
+    if (!ensure(n)) return -1;
+    if (++g_epoch == 0) {            /* int32 wrap: hard-reset stamps */
+        memset(g_tab, 0, g_tabcap * sizeof(Slot));
+        g_epoch = 1;
+    }
+    g_nstates = 1; g_ntrans = 0;
+    g_len[0] = 0; g_link[0] = -1; g_head[0] = -1;
+    int32_t last = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t ch = s[i];
+        int32_t cur = g_nstates++;
+        g_len[cur] = g_len[last] + 1; g_link[cur] = -1; g_head[cur] = -1;
+        int32_t p = last;
+        while (p != -1 && find_node(p, ch) == -1) { put(p, ch, cur); p = g_link[p]; }
+        if (p == -1) {
+            g_link[cur] = 0;
+        } else {
+            int32_t qe = find_node(p, ch);
+            int32_t q = g_tto[qe];
+            if (g_len[p] + 1 == g_len[q]) {
+                g_link[cur] = q;
+            } else {
+                int32_t clone = g_nstates++;
+                g_len[clone] = g_len[p] + 1;
+                g_link[clone] = g_link[q];
+                g_head[clone] = -1;
+                for (int32_t e = g_head[q]; e != -1; e = g_tnx[e])
+                    put(clone, g_tch[e], g_tto[e]);
+                while (p != -1) {
+                    int32_t e = find_node(p, ch);
+                    if (e == -1 || g_tto[e] != q) break;
+                    g_tto[e] = clone;
+                    p = g_link[p];
+                }
+                g_link[q] = clone;
+                g_link[cur] = clone;
+            }
+        }
+        last = cur;
+    }
+    int32_t v = 0;
+    int64_t length = 0, best = 0;
+    for (int64_t j = 0; j < m; j++) {
+        uint32_t ch = t[j];
+        while (v && find_node(v, ch) == -1) { v = g_link[v]; length = g_len[v]; }
+        int32_t e = find_node(v, ch);
+        if (e != -1) {
+            v = g_tto[e];
+            length++;
+            if (length > best) best = length;
+        }
+    }
+    return best;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def native_lib():
+    """The compiled kernel, or None (then callers use the Python SAM).
+    Compiles at most once per process; the .so is content-hashed and
+    shared across processes on the same host."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FASTDUP_SPARK_NO_NATIVE_LCS"):
+        return None
+    try:
+        tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"fdspark_lcs_{tag}")
+        so = base + ".so"
+        if not os.path.exists(so):
+            cfile = f"{base}.{os.getpid()}.c"
+            tmp_so = f"{base}.{os.getpid()}.so.tmp"
+            with open(cfile, "w") as f:
+                f.write(_C_SRC)
+            subprocess.run(
+                ["gcc", "-O3", "-fPIC", "-shared", "-o", tmp_so, cfile],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, so)   # atomic: concurrent compiles race safely
+            os.unlink(cfile)
+        lib = ctypes.CDLL(so)
+        lib.lcs_len_u32.restype = ctypes.c_longlong
+        lib.lcs_len_u32.argtypes = [ctypes.c_void_p, ctypes.c_longlong,
+                                    ctypes.c_void_p, ctypes.c_longlong]
+        # smoke: "abcab" x "zabz" share "ab"
+        import numpy as np
+        a = np.frombuffer("abcab".encode("utf-32-le"), dtype=np.uint32)
+        b = np.frombuffer("zabz".encode("utf-32-le"), dtype=np.uint32)
+        if int(lib.lcs_len_u32(a.ctypes.data, len(a),
+                               b.ctypes.data, len(b))) != 2:
+            raise RuntimeError("native LCS smoke check failed")
+        _lib = lib
+    except Exception as e:  # no gcc / compile / load failure -> Python SAM
+        _LOG.info("native LCS kernel unavailable (%s) — using Python SAM", e)
+        _lib = None
+    return _lib
