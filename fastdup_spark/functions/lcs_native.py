@@ -185,7 +185,17 @@ def native_lib():
         return None
     try:
         tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]
-        base = os.path.join(tempfile.gettempdir(), f"fdspark_lcs_{tag}")
+        # Per-user 0700 cache dir: the content hash is computable from this
+        # public source, so a shared world-writable temp path would let
+        # another local user pre-plant a .so at the predicted name and run
+        # code in every Spark worker. An unexpected owner or group/other
+        # write bit on an existing dir also aborts to the Python SAM.
+        cache = os.path.join(tempfile.gettempdir(), f"fdspark-{os.getuid()}")
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+        st = os.stat(cache)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise RuntimeError(f"unsafe native-kernel cache dir {cache}")
+        base = os.path.join(cache, f"fdspark_lcs_{tag}")
         so = base + ".so"
         if not os.path.exists(so):
             cfile = f"{base}.{os.getpid()}.c"

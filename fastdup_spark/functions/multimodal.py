@@ -72,10 +72,14 @@ def decode_image_meta(media: DataFrame, id_col: str = "media_id",
     ``decoder`` (round-4 verdict #4) makes the codec boundary pluggable
     exactly like ``fd.enrich(model_fn=...)``: a user-supplied callable
     ``bytes -> (width, height, format)`` — e.g. a PIL/libvips body —
-    replaces the stub/fake without any other change; exceptions it raises
-    (ValueError/NotImplementedError) quarantine the row."""
-    decode = decoder if decoder is not None else (
+    replaces the stub/fake without any other change; any exception it
+    raises quarantines the row (real codecs throw OSError subclasses like
+    PIL's UnidentifiedImageError, TypeError on ragged output, etc. — only
+    the built-in fake keeps a narrow ValueError contract)."""
+    user_decoder = decoder is not None
+    decode = decoder if user_decoder else (
         _decode_image_fake if deterministic_fake else _decode_image_real)
+    quarantined = Exception if user_decoder else (ValueError, NotImplementedError)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,7 +89,7 @@ def decode_image_meta(media: DataFrame, id_col: str = "media_id",
                 try:
                     w, h, fmt = decode(raw)
                     rows.append((mid, w, h, len(raw), fmt, None))
-                except (ValueError, NotImplementedError) as e:
+                except quarantined as e:
                     rows.append((mid, None, None, len(raw), None, type(e).__name__))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA])
 
@@ -102,8 +106,9 @@ def extract_image_features(media: DataFrame, dim: int = 64,
 
     ``feature_fn`` (round-4 verdict #4) plugs a real model in exactly like
     ``fd.enrich(model_fn=...)``: a callable ``bytes -> sequence[float]``
-    (e.g. decode + CNN forward) replaces the fake; exceptions it raises
-    (ValueError/NotImplementedError) quarantine the row."""
+    (e.g. decode + CNN forward) replaces the fake; any exception it raises
+    quarantines the row (codec/model bodies throw OSError, TypeError on
+    ragged arrays, ... — not just ValueError)."""
     if feature_fn is None and not deterministic_fake:
         raise NotImplementedError("real feature extraction needs a model "
                                   "runtime — pass feature_fn=")
@@ -117,7 +122,7 @@ def extract_image_features(media: DataFrame, dim: int = 64,
                     try:
                         vec = np.asarray(feature_fn(raw), dtype=np.float32)
                         rows.append((mid, vec.tolist(), None))
-                    except (ValueError, NotImplementedError) as e:
+                    except Exception as e:
                         rows.append((mid, None, type(e).__name__))
                     continue
                 if len(raw) < 8:

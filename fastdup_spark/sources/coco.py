@@ -64,12 +64,22 @@ def coco_to_annotations(spark: SparkSession, coco: dict | str) -> DataFrame:
         [(int(im["id"]), str(im["file_name"]),
           im.get("width"), im.get("height")) for im in coco["images"]],
         _IMG_SCHEMA)
-    anns = spark.createDataFrame(
-        [(int(a["image_id"]), int(a["category_id"]),
-          *(list(map(float, a["bbox"])) if a.get("bbox") is not None
-            else [None, None, None, None]))
-         for a in coco["annotations"]],
-        _ANN_SCHEMA)
+    ann_rows = []
+    for a in coco["annotations"]:
+        if "rot_bb_view" in a or "rotated_bbox" in a:
+            raise ValueError(
+                f"rotated-bbox annotation id={a.get('id')} unsupported — "
+                "pass a DataFrame for custom shapes")
+        bbox = a.get("bbox")
+        if bbox is not None and len(bbox) != 4:
+            raise ValueError(
+                f"annotation id={a.get('id')} has bbox of length "
+                f"{len(bbox)} (expected 4 xywh floats)")
+        ann_rows.append(
+            (int(a["image_id"]), int(a["category_id"]),
+             *(list(map(float, bbox)) if bbox is not None
+               else [None, None, None, None])))
+    anns = spark.createDataFrame(ann_rows, _ANN_SCHEMA)
     cats = spark.createDataFrame(
         [(int(c["id"]), str(c["name"])) for c in coco["categories"]],
         _CAT_SCHEMA)

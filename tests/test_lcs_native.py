@@ -57,8 +57,9 @@ def test_fallback_env_kill_switch(monkeypatch):
 
 @pytest.mark.parametrize("n", [20000])
 def test_native_is_actually_faster(n):
-    """Not a strict perf assert (host noise ~2x) — a sanity floor: the
-    kernel must beat pure Python by >= 3x on a cap-sized pair, else the
+    """Not a strict perf assert (host noise ~2x, so min-of-3 on BOTH
+    sides per the repo's own noise rule) — a sanity floor: the kernel
+    must beat pure Python by >= 3x on a cap-sized pair, else the
     dispatch is pointless."""
     import time
 
@@ -67,7 +68,18 @@ def test_native_is_actually_faster(n):
     rng = random.Random(3)
     s = "".join(rng.choice("abcdefgh ") for _ in range(n))
     t = s[: n // 2] + "".join(rng.choice("abcdefgh ") for _ in range(n // 2))
-    t0 = time.time(); r_native = lcs_length(s, t); t_native = time.time() - t0
-    t0 = time.time(); r_py = _lcs_length_py(s, t); t_py = time.time() - t0
+
+    def best_of(fn, trials=3):
+        results = []
+        times = []
+        for _ in range(trials):
+            t0 = time.time()
+            results.append(fn(s, t))
+            times.append(time.time() - t0)
+        assert len(set(results)) == 1
+        return results[0], min(times)
+
+    r_native, t_native = best_of(lcs_length)
+    r_py, t_py = best_of(_lcs_length_py)
     assert r_native == r_py
     assert t_native * 3 < t_py, (t_native, t_py)
