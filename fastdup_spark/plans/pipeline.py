@@ -437,17 +437,30 @@ class FastdupSpark:
         """≈ img_stats()."""
         return self.store.read(self.spark, "doc_stats")
 
-    def similarity(self) -> DataFrame:
-        """≈ fd.similarity(): url-resolved edge list, sorted desc (J1 + T1)."""
+    def similarity(self, limit: int | None = None,
+                   sort: bool = True) -> DataFrame:
+        """≈ fd.similarity(): url-resolved edge list, sorted desc (J1 + T1).
+
+        ``limit`` bounds the result to the strongest N edges and lets Spark
+        plan TakeOrderedAndProject (per-partition top-N + single merge)
+        instead of a full range-sort shuffle — at 100x scale an unbounded
+        global sort over every edge is a trap, so callers wanting a head
+        should always pass ``limit``. The default (limit=None, sort=True)
+        keeps the reference's fully-sorted similarity.csv export contract
+        (/root/reference/RUN.md:45-50) — an explicitly opt-in full sort;
+        ``sort=False`` skips ordering entirely (cheapest full export)."""
         cat = self.docs().select("doc_id", "url")
         sim = self.store.read(self.spark, "similarity")
-        return (
+        out = (
             sim.join(cat.select(F.col("doc_id").alias("src"),
                                 F.col("url").alias("url_from")), "src")
                .join(cat.select(F.col("doc_id").alias("dst"),
                                 F.col("url").alias("url_to")), "dst")
-               .orderBy(F.desc("jaccard"), "src", "dst")
         )
+        if not sort:
+            return out
+        out = out.orderBy(F.desc("jaccard"), "src", "dst")
+        return out.limit(limit) if limit is not None else out
 
     def knn(self) -> DataFrame:
         """≈ similarity.csv at nearest_neighbors_k: top-k neighbors per doc,

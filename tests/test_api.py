@@ -13,6 +13,29 @@ def test_similarity_report_columns_and_order(fd):
     assert vals == sorted(vals, reverse=True)  # T1: sorted desc
 
 
+def test_similarity_limit_plans_top_n(fd):
+    """similarity(limit=N) must plan TakeOrderedAndProject (per-partition
+    top-N + merge), NOT a global range-sort shuffle — the scale-safe head
+    path (round-5 verdict #7). The default (unbounded) path keeps the
+    sorted-export contract and therefore a global Sort."""
+    limited = fd.similarity(limit=5)
+    plan = limited._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    rows = limited.collect()
+    assert len(rows) <= 5
+    vals = [r["jaccard"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # limited head == head of the full sorted export (same ordering keys)
+    full_head = [(r["src"], r["dst"]) for r in fd.similarity().limit(5).collect()]
+    assert [(r["src"], r["dst"]) for r in rows] == full_head
+    # sort=False: no ordering operators at all
+    plan_ns = fd.similarity(sort=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan_ns
+    assert "Sort " not in plan_ns
+
+
 def test_outliers_report(fd):
     out = fd.outliers()
     n_docs = fd.docs().count()
