@@ -165,19 +165,15 @@ def main() -> None:
     stage_completed_s = stage_trials[trial_secs.index(min(trial_secs))]
     throughput_docs_per_hour = 3600.0 * summ["total_pages"] / timings["dedup_pipeline"]
 
-    # incremental-update measurement (round-4 verdict #9): a ~1% trickle
-    # batch into the LAST trial's completed work dir — update wall time,
-    # touched docs, and how many shards of each derived table actually
-    # rewrote (the shard-scoped write contract, deterministic evidence).
-    incremental = None
+    # incremental-update measurement (round-4 verdict #9, round-5 #3): two
+    # batch sizes into the LAST trial's completed work dir — a 100-doc
+    # TRICKLE (the streaming-update shape the scoped path is built for) and
+    # the historical ~1% batch. Each reports update wall time, touched
+    # docs, and how many shards of each derived table actually rewrote
+    # (the shard-scoped write contract, deterministic evidence).
+    incremental = incremental_trickle = None
     if os.environ.get("BENCH_INCREMENTAL", "1") != "0":
         from pyspark.sql import functions as F
-        n_batch = max(50, n_docs // 100)
-        batch = (
-            pages.orderBy("url").limit(n_batch)
-            .withColumn("url", F.concat(F.col("url"), F.lit("?bench_incr=1")))
-            .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 90 days"))
-        )
         stages5 = ["knn", "best_nn", "assignments", "component_info",
                    "outliers"]
 
@@ -188,22 +184,32 @@ def main() -> None:
                 out.setdefault(shard, set()).add((fn, x["rows"]))
             return out
 
-        before = {s: _shard_files(fd.store, s) for s in stages5}
-        t0 = time.time()
-        st = fd.update(batch)
-        t_upd = round(time.time() - t0, 3)
-        after = {s: _shard_files(fd.store, s) for s in stages5}
-        incremental = {
-            "batch_docs": int(st["new_docs"]),
-            "update_sec": t_upd,
-            "touched_docs": int(st["touched_docs"]),
-            "new_pairs": int(st["new_pairs"]),
-            "store_shards": fd.config.store_shards,
-            "shards_rewritten": {
-                s: sum(1 for k in set(before[s]) | set(after[s])
-                       if before[s].get(k) != after[s].get(k))
-                for s in stages5},
-        }
+        def _measure_update(n_batch: int, tag: str) -> dict:
+            batch = (
+                pages.orderBy("url").limit(n_batch)
+                .withColumn("url", F.concat(F.col("url"), F.lit(f"?{tag}=1")))
+                .withColumn("warc_ts",
+                            F.col("warc_ts") + F.expr("interval 90 days"))
+            )
+            before = {s: _shard_files(fd.store, s) for s in stages5}
+            t0 = time.time()
+            st = fd.update(batch)
+            t_upd = round(time.time() - t0, 3)
+            after = {s: _shard_files(fd.store, s) for s in stages5}
+            return {
+                "batch_docs": int(st["new_docs"]),
+                "update_sec": t_upd,
+                "touched_docs": int(st["touched_docs"]),
+                "new_pairs": int(st["new_pairs"]),
+                "store_shards": fd.n_shards,
+                "shards_rewritten": {
+                    s: sum(1 for k in set(before[s]) | set(after[s])
+                           if before[s].get(k) != after[s].get(k))
+                    for s in stages5},
+            }
+
+        incremental_trickle = _measure_update(100, "bench_trickle")
+        incremental = _measure_update(max(50, n_docs // 100), "bench_incr")
 
     # representative per-operator queries over the driver's testdata
     qs = entrymod.queries()
@@ -254,6 +260,7 @@ def main() -> None:
         "dedup_docs_per_hour": round(throughput_docs_per_hour, 1),
         "summary": summ,
         "incremental": incremental,
+        "incremental_trickle": incremental_trickle,
         "scaling": scaling,
         "kernel_scaling_rows_per_s": kernel,
     }
@@ -269,12 +276,14 @@ def main() -> None:
                     f"min of trials {trial_secs})\n")
             f.write(f"- stage completion offsets (best trial): "
                     f"{stage_completed_s}\n")
-            if incremental:
-                f.write(f"- incremental 1% trickle: {incremental['update_sec']}s "
-                        f"for {incremental['batch_docs']} docs "
-                        f"(touched {incremental['touched_docs']}, "
-                        f"shards rewritten of {incremental['store_shards']}: "
-                        f"{incremental['shards_rewritten']})\n")
+            for lbl, blk in (("incremental 100-doc trickle", incremental_trickle),
+                             ("incremental 1% batch", incremental)):
+                if blk:
+                    f.write(f"- {lbl}: {blk['update_sec']}s "
+                            f"for {blk['batch_docs']} docs "
+                            f"(touched {blk['touched_docs']}, "
+                            f"shards rewritten of {blk['store_shards']}: "
+                            f"{blk['shards_rewritten']})\n")
             if scaling:
                 f.write(f"- scaling: local[{scaling['cores_low']}]={scaling['sec_low']}s "
                         f"({scaling['throughput_low_docs_h']:,.0f} docs/h), "

@@ -60,13 +60,16 @@ class PipelineConfig:
     num_partitions: int | None = None  # None -> leave to AQE / input splits
     resume: bool = True                # skip stages with completed markers
     checkpoint_every_cc_iters: int = 3 # lineage cut cadence in the CC loop
-    # hash-bucket count for the per-doc derived stage tables (knn / best_nn /
-    # assignments / component_info / outliers): incremental updates rewrite
-    # only the buckets containing touched ids (parquet dynamic partition
-    # overwrite ≈ Iceberg bucket(N, id) + MERGE). Size so one bucket of the
-    # LARGEST such table stays well under an executor's write volume — at
-    # 10^12 docs use O(10^4-10^5); 32 fits the sandbox scale.
-    store_shards: int = 32
+    # hash-bucket count for the doc-keyed stage tables (extracted /
+    # signatures and the derived knn / best_nn / assignments /
+    # component_info / outliers): incremental updates read and rewrite only
+    # the buckets containing touched ids (parquet dynamic partition
+    # overwrite + partition-pruned scans ≈ Iceberg bucket(N, doc_id) +
+    # MERGE). None (default) auto-scales with corpus size at the first
+    # run() — see resolve_store_shards — and the resolved value persists in
+    # the work dir (store_layout.json) so later updates keep the layout.
+    # Set explicitly to pin a layout (tests; fixed deployments).
+    store_shards: int | None = None
 
     extra: dict = field(default_factory=dict)
 
@@ -84,3 +87,17 @@ class PipelineConfig:
         resume only skips work computed under the identical config."""
         blob = json.dumps(self.to_dict(), sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+# ~100 docs per shard keeps sandbox-scale trickle batches touching a small
+# FRACTION of shards (a b-doc batch rewrites ~b of N shards, so rewrite
+# volume ≈ corpus·b/N); the 65536 cap bounds file counts and still leaves
+# ~1.5e7 rows/shard at 10^12 docs — a sane Iceberg bucket(N) width. Pow2
+# quantization keeps the resolved value stable under small corpus drift.
+def resolve_store_shards(n_docs: int) -> int:
+    """Auto-scale the hash-bucket count with corpus size (used when
+    PipelineConfig.store_shards is None)."""
+    import math
+    if n_docs <= 0:
+        return 32
+    return max(32, min(65536, 2 ** math.ceil(math.log2(max(1.0, n_docs / 100)))))

@@ -46,6 +46,14 @@ class StageStore:
         self.work_dir = work_dir
         self.fmt = fmt
         os.makedirs(work_dir, exist_ok=True)
+        # driver-side footer caches keyed by (path, size, mtime): stage files
+        # are immutable (appends add files, overwrites replace whole dirs),
+        # so a footer read stays valid while the stat signature matches.
+        # With auto-scaled shard counts a table can hold thousands of small
+        # files; without the memo every marker refresh / tripwire re-opens
+        # every footer (on Iceberg both come from the snapshot manifest).
+        self._lineage_memo: dict[str, tuple[float, int, int]] = {}
+        self._stat_memo: dict[tuple[str, str], tuple[float, int, object]] = {}
 
     # --- paths ---
     def table_path(self, stage: str) -> str:
@@ -151,26 +159,70 @@ class StageStore:
         os.replace(tmp, self.marker_path(stage))
         return marker
 
-    @staticmethod
-    def _parquet_lineage(path: str) -> list[dict]:
+    def _parquet_lineage(self, path: str) -> list[dict]:
         """Per-file row counts straight from the columnar footers (no Spark
         job). Named for the primary format; ORC footers are read the same
         way via pyarrow, so `StageStore(fmt="orc")` keeps the full marker/
         lineage/resume contract (an Iceberg deployment gets this from the
-        snapshot manifest instead)."""
+        snapshot manifest instead). Footer reads are memoized per
+        (path, mtime, size) — immutable files never re-open."""
         out = []
         for root, _dirs, files in os.walk(path):
             for fn in files:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, path)
-                if fn.endswith(".parquet"):
+                is_pq = fn.endswith(".parquet")
+                if not is_pq and not fn.endswith(".orc"):
+                    continue
+                st = os.stat(full)
+                hit = self._lineage_memo.get(full)
+                if hit is not None and hit[0] == st.st_mtime and hit[1] == st.st_size:
+                    out.append({"file": rel, "rows": hit[2]})
+                    continue
+                if is_pq:
                     import pyarrow.parquet as pq
-                    out.append({"file": rel,
-                                "rows": pq.ParquetFile(full).metadata.num_rows})
-                elif fn.endswith(".orc"):
+                    rows = pq.ParquetFile(full).metadata.num_rows
+                else:
                     import pyarrow.orc as po
-                    out.append({"file": rel, "rows": po.ORCFile(full).nrows})
+                    rows = po.ORCFile(full).nrows
+                self._lineage_memo[full] = (st.st_mtime, st.st_size, rows)
+                out.append({"file": rel, "rows": rows})
         return out
+
+    def footer_max(self, stage: str, col: str):
+        """Exact max of ``col`` across a parquet stage table from row-group
+        statistics — driver-side, no Spark job, memoized per file. Returns
+        None when unavailable (non-parquet store, stats missing)."""
+        if self.fmt != "parquet":
+            return None
+        import pyarrow.parquet as pq
+        mx = None
+        for root, _dirs, files in os.walk(self.table_path(stage)):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                hit = self._stat_memo.get((full, col))
+                if hit is not None and hit[0] == st.st_mtime and hit[1] == st.st_size:
+                    fmax = hit[2]
+                else:
+                    md = pq.ParquetFile(full).metadata
+                    fmax = None
+                    for rg in range(md.num_row_groups):
+                        row_group = md.row_group(rg)
+                        for ci in range(row_group.num_columns):
+                            c = row_group.column(ci)
+                            if c.path_in_schema != col:
+                                continue
+                            s = c.statistics
+                            if s is None or not s.has_min_max:
+                                return None  # stats disabled -> caller falls back
+                            fmax = s.max if fmax is None else max(fmax, s.max)
+                    self._stat_memo[(full, col)] = (st.st_mtime, st.st_size, fmax)
+                if fmax is not None:
+                    mx = fmax if mx is None else max(mx, fmax)
+        return mx
 
     def write_sharded(self, df: DataFrame, stage: str, config_hash: str,
                       n_shards: int, id_col: str = "doc_id",

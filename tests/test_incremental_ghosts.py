@@ -229,3 +229,52 @@ def test_bulk_backfill_membership_fallback(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(inc, "_BROADCAST_BATCH_MAX", 1)
     stats2 = fd.update(_unique_pages(spark, 12, start=100))
     assert stats2["new_docs"] == 0 and stats2["path"] == "noop"
+
+
+def test_membership_scan_is_shard_pruned(spark, tmp_path):
+    """Round-5 verdict #2 'done' criterion: the base tables (extracted /
+    signatures) share the derived tables' bucket(N, doc_id) layout, so the
+    per-batch membership read PRUNES AT THE FILE INDEX — the executed scan
+    must carry a _shard IN (...) PartitionFilter covering only the batch's
+    shards, not a full id-column scan."""
+    import re
+
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.plans.store import SHARD_COL
+
+    data = generate_pages(300, seed=23)
+    pages, _, _ = pages_to_spark(spark, data)
+    cutoff = pages.selectExpr(
+        "percentile(cast(warc_ts as double), 0.9) p").first()["p"]
+    fd = FastdupSpark(spark, str(tmp_path / "prune"),
+                      config=PipelineConfig(store_shards=64))
+    fd.run(pages.filter(F.col("warc_ts").cast("double") <= cutoff))
+    batch = pages.filter(F.col("warc_ts").cast("double") > cutoff)
+    n_batch = batch.count()
+    assert 0 < n_batch < 40  # small enough that pruning MUST engage
+
+    # base tables really carry the bucket layout
+    for stage in ("extracted", "signatures"):
+        params = fd.store.shard_params(stage)
+        assert params == ("doc_id", 64), stage
+        lineage = fd.store._parquet_lineage(fd.store.table_path(stage))
+        assert all(f"{SHARD_COL}=" in x["file"] for x in lineage), stage
+
+    dbg = {}
+    st = incremental_update(fd, batch, _debug=dbg)
+    assert st["path"] == "clean" and st["new_docs"] > 0
+    plan = dbg["membership_src_plan"]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in membership scan:\n{plan}"
+    pf = m.group(1)
+    assert SHARD_COL in pf and " IN " in pf, \
+        f"membership scan not shard-pruned:\n{pf}"
+    # the IN-list (plus a possible isnotnull guard) must stay batch-bounded
+    n_shards_read = pf.count(",") + 1
+    assert n_shards_read <= n_batch + 4 and n_shards_read < 64, \
+        f"membership read {n_shards_read} shards for a {n_batch}-doc batch"
+
+    # and the appended batch keeps the bucket layout on disk
+    for stage in ("extracted", "signatures"):
+        lineage = fd.store._parquet_lineage(fd.store.table_path(stage))
+        assert all(f"{SHARD_COL}=" in x["file"] for x in lineage), stage

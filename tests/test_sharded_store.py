@@ -62,7 +62,7 @@ def test_tables_are_shard_partitioned(tiny_batch_run):
     for s in SHARDED_STAGES:
         params = fd.store.shard_params(s)
         assert params is not None, f"{s} missing shard params"
-        assert params[1] == fd.config.store_shards
+        assert params[1] == fd.n_shards
         lineage = fd.store._parquet_lineage(fd.store.table_path(s))
         assert all(x["file"].startswith(f"{SHARD_COL}=") for x in lineage), s
 
@@ -74,7 +74,7 @@ def test_tiny_batch_rewrites_few_shards(tiny_batch_run):
     labels / outlier churn — far under the 32-shard layout.)"""
     fd, _pages, _tiny, stats, before, after = tiny_batch_run
     assert 0 < stats["touched_docs"] <= 20
-    total = fd.config.store_shards
+    total = fd.n_shards
     for s in SHARDED_STAGES:
         keys = set(before[s]) | set(after[s])
         changed = {k for k in keys if before[s].get(k) != after[s].get(k)}
