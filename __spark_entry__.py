@@ -686,13 +686,41 @@ def q_dedup_survivors(spark, sf):
     return duplicates_to_drop(res["assignments"])
 
 
+# The simhash oracles (round-5 verdict #4): DuckDB cannot reproduce Spark's
+# xxhash64 shingle hashes, but it CAN reproduce the bit vote and Hamming
+# blocking from the SAME uint64s — so the Spark queries dump their shingle
+# hash stream (the simhash UDF's exact input) to this parquet, and the
+# oracle recomputes the fingerprints with pure SQL bit arithmetic over it.
+# Driver ordering guarantees the dump exists: each oracle runs right after
+# its own Spark query.
+_SIMHASH_DUMP = "/tmp/fastdup_spark_simhash_dump.parquet"
+
+
+def _write_simhash_dump(spark, sf):
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.functions.signatures import (
+        normalize_tokens_expr, shingles_expr,
+    )
+    cfg = PipelineConfig()
+    d = _t(spark, sf, "documents")
+    (d.withColumn("tokens", normalize_tokens_expr(F.col("text")))
+      .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
+      .select("doc_id",
+              F.coalesce(F.size("shingles"), F.lit(0)).alias("n"),
+              F.explode_outer("shingles").alias("h"))
+      .write.mode("overwrite").parquet(_SIMHASH_DUMP))
+
+
 def q_simhash_fingerprints(spark, sf):
-    """SimHash 64-bit fingerprints (numpy pandas UDF)."""
+    """SimHash 64-bit fingerprints (numpy pandas UDF). Dumps the shingle
+    hash stream so the DuckDB oracle can replay the bit vote (see
+    _SIMHASH_DUMP)."""
     from fastdup_spark.config import PipelineConfig
     from fastdup_spark.functions.signatures import (
         make_simhash_udf, normalize_tokens_expr, shingles_expr,
     )
     cfg = PipelineConfig()
+    _write_simhash_dump(spark, sf)
     d = _t(spark, sf, "documents")
     sh = make_simhash_udf()
     return (
@@ -704,13 +732,30 @@ def q_simhash_fingerprints(spark, sf):
 
 def q_simhash_near_dup(spark, sf):
     """SimHash banding dedup (Manku et al. WWW'07): block equi-join +
-    hamming verify + CC over documents."""
+    hamming verify + CC over documents. Oracle-checked end to end: the
+    banding is exhaustive at hamming <= max_hamming (pigeonhole; no
+    salting at this scale), so the DuckDB oracle's brute-force hamming
+    join over the replayed fingerprints must produce the identical
+    component histogram."""
     from fastdup_spark.config import PipelineConfig
-    from fastdup_spark.functions.signatures import with_signatures
+    from fastdup_spark.functions.signatures import (
+        make_simhash_udf, normalize_tokens_expr, shingles_expr,
+    )
     from fastdup_spark.operators.simhash_dedup import simhash_near_dup
 
+    cfg = PipelineConfig()
+    _write_simhash_dump(spark, sf)
     d = _t(spark, sf, "documents")
-    sigs = with_signatures(d, PipelineConfig()).select("doc_id", "simhash")
+    sh = make_simhash_udf()
+    # fingerprints from the classic shingles_expr stream — the SAME hash
+    # stream the oracle dump replays (the with_signatures fast path uses a
+    # different k-gram combine, so its hash VALUES differ even though its
+    # dedup behavior is equivalent; tests/test_signatures pins that)
+    sigs = (
+        d.withColumn("tokens", normalize_tokens_expr(F.col("text")))
+        .withColumn("shingles", shingles_expr(F.col("tokens"), cfg.shingle_k))
+        .select("doc_id", sh("shingles").alias("simhash"))
+    )
     res = simhash_near_dup(sigs, max_hamming=3, bands=4)
     return (
         res["assignments"].groupBy("component_id")
@@ -990,10 +1035,87 @@ def _ivf_oracle_sql(nprobe: int = 3, kk: int = 10,
         ) ORDER BY cosine DESC, vec_id LIMIT {kk}"""
 
 
+# Shared CTE set for the simhash oracles: replay the production bit vote
+# over the Spark-dumped shingle-hash stream (_SIMHASH_DUMP) in pure SQL.
+# HUGEINT (int128) arithmetic carries the unsigned-64 semantics: negative
+# int64 hashes lift by 2^64, bit j extracts as (u // 2^j) % 2, and the
+# reassembled fingerprint wraps back to signed int64 — matching numpy's
+# uint64 vote + int64 view bit for bit (round-5 verdict #4; validated
+# against signatures.simhash_batch on random hash streams).
+_SIMHASH_FP_CTES = f"""
+            t AS (SELECT doc_id, n, h
+                  FROM read_parquet('{_SIMHASH_DUMP}/*.parquet')),
+            u AS (
+              SELECT doc_id, n,
+                     CASE WHEN h < 0
+                          THEN CAST(h AS HUGEINT) + (CAST(1 AS HUGEINT) << 64)
+                          ELSE CAST(h AS HUGEINT) END AS uh
+              FROM t WHERE h IS NOT NULL
+            ),
+            votes AS (
+              SELECT doc_id, g.j AS j, max(n) AS n,
+                     count(*) FILTER (
+                       WHERE (uh // (CAST(1 AS HUGEINT) << g.j)) % 2 = 1) AS v
+              FROM u, generate_series(0, 63) g(j)
+              GROUP BY doc_id, g.j
+            ),
+            fp0 AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN 2 * v > n
+                                       THEN (CAST(1 AS HUGEINT) << j)
+                                       ELSE CAST(0 AS HUGEINT) END),
+                              CAST(0 AS HUGEINT)) AS s
+              FROM votes GROUP BY doc_id
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                               THEN s - (CAST(1 AS HUGEINT) << 64)
+                               ELSE s END AS BIGINT) AS simhash
+              FROM fp0
+            ),
+            allfp AS (
+              SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+              FROM (SELECT DISTINCT doc_id FROM t) d LEFT JOIN fp USING (doc_id)
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     ltok = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
     return {
+        "simhash_fingerprints": f"""
+            WITH {_SIMHASH_FP_CTES}
+            SELECT doc_id, simhash FROM allfp
+        """,
+        # brute-force hamming<=3 graph over the replayed fingerprints ==
+        # the banding result (pigeonhole is exhaustive at this distance;
+        # identical-fp docs connect via the star edges on the Spark side,
+        # via hamming-0 pairs here — same components either way)
+        "simhash_near_dup": f"""
+            WITH RECURSIVE {_SIMHASH_FP_CTES},
+            edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            )
+            SELECT component_id, count(*) AS count
+            FROM comp GROUP BY component_id HAVING count(*) >= 2
+        """,
         "exact_dup_groups": """
             WITH docs AS (
               SELECT doc_id, text FROM documents
