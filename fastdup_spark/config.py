@@ -89,15 +89,19 @@ class PipelineConfig:
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-# ~100 docs per shard keeps sandbox-scale trickle batches touching a small
-# FRACTION of shards (a b-doc batch rewrites ~b of N shards, so rewrite
-# volume ≈ corpus·b/N); the 65536 cap bounds file counts and still leaves
-# ~1.5e7 rows/shard at 10^12 docs — a sane Iceberg bucket(N) width. Pow2
-# quantization keeps the resolved value stable under small corpus drift.
+# ~25k docs per shard: incremental rewrite volume for a b-doc batch is
+# ≈ touched_shards x docs_per_shard rows — a FIXED absolute cost per
+# touched doc regardless of corpus size — while the full run's file count
+# stays O(corpus/25k) (over-sharding was measured to cost 3x at sf0.1:
+# 1024 dirs x 7 tables of pyarrow footer lineage + dir listings dominated;
+# BENCH/BASELINE.md round-6 bisect). The 65536 cap bounds file counts and
+# still leaves ~1.5e7 rows/shard at 10^12 docs — a sane Iceberg bucket(N)
+# width. Pow2 quantization keeps the resolved value stable under small
+# corpus drift.
 def resolve_store_shards(n_docs: int) -> int:
     """Auto-scale the hash-bucket count with corpus size (used when
     PipelineConfig.store_shards is None)."""
     import math
     if n_docs <= 0:
         return 32
-    return max(32, min(65536, 2 ** math.ceil(math.log2(max(1.0, n_docs / 100)))))
+    return max(32, min(65536, 2 ** math.ceil(math.log2(max(1.0, n_docs / 25_000)))))

@@ -169,6 +169,16 @@ def incremental_update(fd, new_pages: DataFrame,
     spark = fd.spark
     store = fd.store
 
+    import time as _time
+    _t0 = _time.time()
+    _timings: dict[str, float] = {}
+
+    def _mark(phase: str) -> None:
+        # cumulative offsets since update start (the same offsets-not-
+        # durations shape as the run() stage manifest: phases overlap
+        # across the append threads)
+        _timings[phase] = round(_time.time() - _t0, 3)
+
     hwm = _footer_hwm(fd)
     if hwm is None:
         hwm = high_water_mark(store.read(spark, "extracted"))
@@ -198,6 +208,7 @@ def incremental_update(fd, new_pages: DataFrame,
     n_sig_footer = sum(x["rows"] for x in
                        store._parquet_lineage(store.table_path("signatures")))
     clean_history = n_sig_footer == n_valid_footer
+    _mark("tripwires")
 
     # --- ONE extraction pass, materialized once (round-5 ADVICE: the old
     # shape re-ran the extraction lineage for every count/split consumer) ---
@@ -212,6 +223,7 @@ def incremental_update(fd, new_pages: DataFrame,
     ).localCheckpoint(eager=True)
     n_batch_raw = ext.count()  # cheap: counts the pinned batch, not lineage
     batch_ids = ext.select("doc_id").distinct()
+    _mark("extract")
 
     # batch membership = not yet in `extracted` (valid OR quarantined).
     # For ordinary (broadcastable) batches the check is a broadcast-
@@ -247,6 +259,7 @@ def incremental_update(fd, new_pages: DataFrame,
         F.count(F.when(F.col("is_valid"), 1)).alias("ok"),
         F.count(F.when(~F.col("is_valid"), 1)).alias("bad")).collect()[0]
     n_new, n_new_bad = int(crow["ok"]), int(crow["bad"])
+    _mark("membership")
     if n_new == 0 and n_new_bad == 0:
         # fully-redelivered batch. If a prior run crashed AFTER the extracted
         # append but BEFORE the bookkeeping tail, the extracted marker is
@@ -283,6 +296,7 @@ def incremental_update(fd, new_pages: DataFrame,
     new_sigs = with_signatures(new_docs, cfg).select(
         "doc_id", "minhash", "simhash", "shingles", "n_shingles"
     ).localCheckpoint(eager=True)
+    _mark("signatures")
     new_buckets = band_buckets(new_sigs, cfg.lsh_bands, cfg.lsh_rows) \
         .withColumn("salt", F.lit(0))
 
@@ -343,6 +357,7 @@ def incremental_update(fd, new_pages: DataFrame,
         .localCheckpoint(eager=True)
     )
     n_pairs = scored_new.count()
+    _mark("score")
 
     def _append(df: DataFrame, stage: str, partition_by: list[str] | None = None):
         # sharded stage tables (extracted/signatures) keep their bucket
@@ -488,12 +503,14 @@ def incremental_update(fd, new_pages: DataFrame,
         ]
         for f in futs:
             f.result()
+    _mark("appends")
 
     new_extracted = new_docs.select(
         "doc_id", "url", "warc_ts", "lang", "text",
         F.lit("").alias("error_code"), F.lit(True).alias("is_valid"),
     ).unionByName(new_bad)
     _append(new_extracted, "extracted", partition_by=["is_valid"])
+    _mark("extracted_append")
 
     # docs whose neighbor state can have changed: endpoints of the batch's
     # pairs plus every new doc (new docs need best_nn/knn rows even with
@@ -523,7 +540,9 @@ def incremental_update(fd, new_pages: DataFrame,
                                     affected=affected,
                                     new_cc_edges=new_cc_edges,
                                     new_ids=new_ids_arg,
-                                    n_edges_hint=int(n_rel))
+                                    n_edges_hint=int(n_rel),
+                                    _timings=_timings, _t0=_t0)
+    _mark("finalize")
 
     hwm_out = _footer_hwm(fd)
     if hwm_out is None:
@@ -535,7 +554,8 @@ def incremental_update(fd, new_pages: DataFrame,
     path = ("full_rebuild" if marker_stale
             else "clean" if clean_history else "replay")
     return {"new_docs": int(n_new), "new_pairs": int(n_pairs),
-            "touched_docs": touched, "path": path, "hwm": str(hwm_out)}
+            "touched_docs": touched, "path": path, "hwm": str(hwm_out),
+            "phase_completed_s": _timings}
 
 
 def _semi(df: DataFrame, ids: DataFrame, col: str) -> DataFrame:
@@ -627,7 +647,9 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                           affected: DataFrame | None = None,
                           new_cc_edges: DataFrame | None = None,
                           new_ids: DataFrame | None = None,
-                          n_edges_hint: int | None = None) -> int:
+                          n_edges_hint: int | None = None,
+                          _timings: dict | None = None,
+                          _t0: float | None = None) -> int:
     """Post-append bookkeeping: counts, markers, derived tables, manifest.
 
     extract_counts is DERIVED from the extracted table's parquet footers
@@ -667,6 +689,14 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     store = fd.store
     cfg = fd.config
 
+    import time as _time
+    if _t0 is None:
+        _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        if _timings is not None:
+            _timings[phase] = round(_time.time() - _t0, 3)
+
     lineage = store._parquet_lineage(store.table_path("extracted"))
     n_bad = sum(x["rows"] for x in lineage if "is_valid=false" in x["file"])
     n_all = sum(x["rows"] for x in lineage)
@@ -678,6 +708,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     for stage in ("doc_stats", "signatures", "buckets",
                   "pairs_scored", "similarity", "containment"):
         store.refresh_marker(stage, fd._chash)
+    _mark("fin_markers")
 
     from fastdup_spark.operators.knn import knn_truncate
     from fastdup_spark.operators.outliers import best_neighbor, outliers_by_percentile
@@ -928,12 +959,19 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
             store.overwrite_shards(info_part, "component_info", fd._chash,
                                    cid_shards)
 
+        _mark("fin_scope")
         from concurrent.futures import ThreadPoolExecutor
+
+        def _timed(f):
+            f()
+            _mark(f"fin_{f.__name__.lstrip('_')}")
+
         with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [pool.submit(f) for f in
+            futs = [pool.submit(_timed, f) for f in
                     (_upd_knn, _upd_best_nn_outliers, _upd_components)]
             for f in futs:
                 f.result()
+    _mark("fin_derived")
 
     # refresh run_manifest so summary() reflects post-update state
     from fastdup_spark.operators.stats import summary_stats
@@ -946,6 +984,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     )
     store.write_json({"config": cfg.to_dict(), "config_hash": fd._chash,
                       "summary": summ}, "run_manifest")
+    _mark("fin_manifest")
 
     # LAST: the heal tripwire (see docstring)
     store.refresh_marker("extracted", fd._chash)

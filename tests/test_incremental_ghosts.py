@@ -260,15 +260,28 @@ def test_membership_scan_is_shard_pruned(spark, tmp_path):
         lineage = fd.store._parquet_lineage(fd.store.table_path(stage))
         assert all(f"{SHARD_COL}=" in x["file"] for x in lineage), stage
 
-    dbg = {}
-    st = incremental_update(fd, batch, _debug=dbg)
+    # >10 IN-values convert to INSET and the rendered list truncates at
+    # maxToStringFields — pin both confs so the plan text carries the FULL
+    # IN-list and the count assertions below see every element
+    old_inset = spark.conf.get("spark.sql.optimizer.inSetConversionThreshold")
+    old_fields = spark.conf.get("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.optimizer.inSetConversionThreshold", "4096")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "4096")
+    try:
+        dbg = {}
+        st = incremental_update(fd, batch, _debug=dbg)
+    finally:
+        spark.conf.set("spark.sql.optimizer.inSetConversionThreshold",
+                       old_inset)
+        spark.conf.set("spark.sql.debug.maxToStringFields", old_fields)
     assert st["path"] == "clean" and st["new_docs"] > 0
     plan = dbg["membership_src_plan"]
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, f"no PartitionFilters in membership scan:\n{plan}"
     pf = m.group(1)
-    assert SHARD_COL in pf and " IN " in pf, \
+    assert SHARD_COL in pf and (" IN " in pf or " INSET " in pf), \
         f"membership scan not shard-pruned:\n{pf}"
+    assert "..." not in pf, f"IN-list rendering truncated:\n{pf}"
     # the IN-list (plus a possible isnotnull guard) must stay batch-bounded
     n_shards_read = pf.count(",") + 1
     assert n_shards_read <= n_batch + 4 and n_shards_read < 64, \
