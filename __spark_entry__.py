@@ -645,6 +645,49 @@ def q_minhash_lsh_dedup(spark, sf):
     )
 
 
+def q_review_override_components(spark, sf):
+    """Human-review override algebra (plans/review.py override_edges — the
+    text analog of the reference's CVAT annotation loop,
+    /root/reference/fastdup/cvat.py) oracle-checked end-to-end: the
+    near-dup edge set gets a deterministic simulated review — REJECTED:
+    edges whose endpoints agree mod 7 (a stand-in for human false-positive
+    calls); CONFIRMED: adjacent-by-doc_id pairs where src % 13 == 0 (human
+    false-negative catches, scored below threshold or never candidates) —
+    then components re-resolve over the corrected edge set. DuckDB
+    reproduces the identical algebra over its brute-force exact-Jaccard
+    edge set plus the recursive label-flood CC (component_id = min doc_id
+    on both engines; both use sign-of-dividend %, so the mod predicates
+    agree on negative ids)."""
+    from pyspark.sql import Window
+
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.operators.cc import connected_components
+    from fastdup_spark.plans.pipeline import near_dup_pipeline
+    from fastdup_spark.plans.review import override_edges
+
+    cfg = PipelineConfig()
+    docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
+    res = near_dup_pipeline(docs, cfg)
+    auto = res["pairs"].filter(F.col("jaccard") >= cfg.cc_threshold) \
+        .select("src", "dst")
+    rejected = auto.filter(F.col("src") % 7 == F.col("dst") % 7)
+    confirmed = (
+        docs.select("doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(Window.orderBy("doc_id")))
+        .filter(F.col("nxt").isNotNull() & (F.col("doc_id") % 13 == 0))
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    edges = override_edges(auto, rejected, confirmed)
+    asg = connected_components(edges, vertices=docs.select("doc_id"))
+    return (
+        asg.groupBy("component_id").agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= 2)
+    )
+
+
 def q_doc_best_neighbor(spark, sf):
     """W1 (best neighbor per doc) over the REAL text near-dup graph — the
     operator behind the outlier stage, oracle-checked on pipeline output:
@@ -906,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_best_neighbor": q_doc_best_neighbor,
         "dedup_survivors": q_dedup_survivors,
+        "review_override_components": q_review_override_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -1640,6 +1684,71 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.doc_id = src
               JOIN sizes sb ON sb.doc_id = dst
               WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            )
+            SELECT component_id, count(*) AS count
+            FROM comp GROUP BY component_id
+            HAVING count(*) >= 2
+        """,
+        "review_override_components": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges0 AS (
+              SELECT src, dst FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            rejected AS (
+              SELECT src, dst FROM edges0 WHERE src % 7 = dst % 7
+            ),
+            confirmed AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       lead(doc_id) OVER (ORDER BY doc_id) AS dst
+                FROM toks)
+              WHERE dst IS NOT NULL AND src % 13 = 0
+            ),
+            edges AS (
+              SELECT src, dst FROM edges0
+              EXCEPT
+              SELECT src, dst FROM rejected
+              UNION
+              SELECT src, dst FROM confirmed
             ),
             sym AS (
               SELECT src AS u, dst AS v FROM edges

@@ -684,6 +684,32 @@ class FastdupSpark:
         from fastdup_spark.streaming.incremental import incremental_update
         return incremental_update(self, new_pages)
 
+    # --- human-review round-trip (text analog of the reference's CVAT
+    # integration, /root/reference/fastdup/cvat.py) — plans/review.py ---
+
+    def export_review_tasks(self, path: str, lo: float | None = None,
+                            hi: float | None = None,
+                            limit: int | None = None) -> int:
+        """Write the decision band of scored pairs as Label-Studio-style
+        task JSON for human review; returns the task count."""
+        from fastdup_spark.plans.review import export_review_tasks
+        return export_review_tasks(self, path, lo=lo, hi=hi, limit=limit)
+
+    def apply_review(self, results) -> int:
+        """Ingest completed review verdicts (a path to the labeling tool's
+        export, or an already-read (src, dst, verdict) DataFrame) into the
+        ``review_overrides`` table; returns the total override count."""
+        from fastdup_spark.plans.review import apply_review, read_review_results
+        if isinstance(results, str):
+            results = read_review_results(self.spark, results)
+        return apply_review(self, results)
+
+    def reviewed_components(self, include_singletons: bool = False) -> DataFrame:
+        """components() recomputed with human overrides applied: rejected
+        edges removed, confirmed below-threshold pairs added."""
+        from fastdup_spark.plans.review import reviewed_components
+        return reviewed_components(self, include_singletons=include_singletons)
+
     def pagerank(self) -> DataFrame:
         """≈ the pagerank/delta columns of connected_components.csv (A15,
         run_pagerank toggle): per-doc rank over the similarity graph."""

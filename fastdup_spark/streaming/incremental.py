@@ -326,13 +326,30 @@ def incremental_update(fd, new_pages: DataFrame,
     if _debug is not None:
         _debug["cand_plan"] = _plan_text(cand)
 
+    # signatures fetch for scoring, pruned to the candidate endpoints'
+    # shards: every row the joins below can use belongs to an endpoint of
+    # cand, and a doc's signatures row lives in pmod(doc_id, N) — so the
+    # scan skips every other shard at the file index instead of reading
+    # the full (minhash + shingles, the two widest columns in the store)
+    # table per batch. cand is pinned first so the probe join runs once.
+    cand = cand.localCheckpoint(eager=True)
+    sig_params = store.shard_params("signatures")
+    if sig_params is not None:
+        cand_eps = cand.select(F.col("src").alias("doc_id")) \
+            .unionByName(cand.select(F.col("dst").alias("doc_id")))
+        sig_shards = _shards_of(cand_eps, sig_params[1])
+        base_sigs = store.read(spark, "signatures", keep_shard=True) \
+            .filter(F.col(SHARD_COL).isin(sig_shards)).drop(SHARD_COL)
+    else:
+        base_sigs = store.read(spark, "signatures")
+
     # batch docs may ALREADY have persisted signature rows (replay of a
     # batch that crashed after its signatures append): drop the old copies
     # so the union carries exactly one row per doc — duplicated sig rows
     # would double every joined pair row and append dup pairs. Impossible
     # on a clean history (the doc never committed), so the anti-join only
     # runs on crash replays, with the batch id set broadcast.
-    all_sigs_narrow = store.read(spark, "signatures") \
+    all_sigs_narrow = base_sigs \
         .select("doc_id", "minhash", "simhash", "shingles")
     if not clean_history:
         all_sigs_narrow = all_sigs_narrow.join(
@@ -492,7 +509,7 @@ def incremental_update(fd, new_pages: DataFrame,
     #      replay reprocess the batch.
     _append(_dedup_batch_rows(new_sigs, "signatures"), "signatures")
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futs = [
             pool.submit(_append, _dedup_batch_rows(new_buckets, "buckets"),
                         "buckets"),
@@ -629,13 +646,19 @@ def _union_find_merge(labeled_edges: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent if find(x) != x}
 
 
-def _record_outlier_cutoff(fd, extra: dict | None = None) -> None:
+def _record_outlier_cutoff(fd, extra: dict | None = None,
+                           out_frame: DataFrame | None = None) -> None:
     """Stamp the realized outlier cutoff (max best_sim in the written
     table) into the outliers marker — the next batch prunes its best_nn
     scan at this value instead of re-running the percentile job. ``extra``
     counters (e.g. which rank path the cut took) ride along for
-    observability/tests."""
-    c = fd.store.read(fd.spark, "outliers").agg(F.max("best_sim")).first()[0]
+    observability/tests. ``out_frame``: the already-materialized new
+    outlier set — its content equals the post-write table by construction
+    (untouched shards hold identical rows), so aggregating it skips the
+    write->read barrier on the scoped path."""
+    src = out_frame if out_frame is not None \
+        else fd.store.read(fd.spark, "outliers")
+    c = src.agg(F.max("best_sim")).first()[0]
     m = fd.store.read_marker("outliers") or {}
     fd.store.refresh_marker(
         "outliers", fd._chash,
@@ -827,17 +850,23 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                 store.read(spark, "best_nn"), cfg.outlier_pct,
                 n=counts["valid"],
                 cutoff_hint=hint, stats=rank_stats).localCheckpoint(eager=True)
-            old_out_ids = store.read(spark, "outliers").select("doc_id")
-            sym_diff = old_out_ids.join(out_new.select("doc_id"), "doc_id",
-                                        "left_anti") \
-                .unionByName(out_new.select("doc_id")
-                             .join(old_out_ids, "doc_id", "left_anti"))
-            out_shards = sorted(set(aff_shards) | set(_shards_of(sym_diff, n_sh)))
+            if len(aff_shards) == n_sh:
+                # every shard is already being rewritten — the old-vs-new
+                # membership diff cannot widen the set; skip its job
+                out_shards = aff_shards
+            else:
+                old_out_ids = store.read(spark, "outliers").select("doc_id")
+                sym_diff = old_out_ids.join(out_new.select("doc_id"),
+                                            "doc_id", "left_anti") \
+                    .unionByName(out_new.select("doc_id")
+                                 .join(old_out_ids, "doc_id", "left_anti"))
+                out_shards = sorted(set(aff_shards)
+                                    | set(_shards_of(sym_diff, n_sh)))
             store.overwrite_shards(
                 out_new.filter(shard_expr("doc_id", n_sh).isin(out_shards)),
                 "outliers", fd._chash, out_shards)
             _record_outlier_cutoff(fd, extra={
-                "rank_path": rank_stats.get("path")})
+                "rank_path": rank_stats.get("path")}, out_frame=out_new)
 
         def _upd_components():
             # --- assignments: CC by contraction (exact — see module
