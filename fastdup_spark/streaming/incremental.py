@@ -340,6 +340,9 @@ def incremental_update(fd, new_pages: DataFrame,
         sig_shards = _shards_of(cand_eps, sig_params[1])
         base_sigs = store.read(spark, "signatures", keep_shard=True) \
             .filter(F.col(SHARD_COL).isin(sig_shards)).drop(SHARD_COL)
+        if _debug is not None:
+            _debug["score_sigs_plan"] = base_sigs._jdf.queryExecution() \
+                .executedPlan().toString()
     else:
         base_sigs = store.read(spark, "signatures")
 

@@ -287,6 +287,16 @@ def test_membership_scan_is_shard_pruned(spark, tmp_path):
     assert n_shards_read <= n_batch + 4 and n_shards_read < 64, \
         f"membership read {n_shards_read} shards for a {n_batch}-doc batch"
 
+    # the score-phase signatures fetch (the widest columns in the store:
+    # minhash + shingles) prunes to the candidate endpoints' shards the
+    # same way — never a full-table scan per batch (round 6)
+    splan = dbg["score_sigs_plan"]
+    ms = re.search(r"PartitionFilters: \[([^\]]*)\]", splan)
+    assert ms, f"no PartitionFilters in score signatures scan:\n{splan}"
+    spf = ms.group(1)
+    assert SHARD_COL in spf and (" IN " in spf or " INSET " in spf), \
+        f"score signatures scan not shard-pruned:\n{spf}"
+
     # and the appended batch keeps the bucket layout on disk
     for stage in ("extracted", "signatures"):
         lineage = fd.store._parquet_lineage(fd.store.table_path(stage))
