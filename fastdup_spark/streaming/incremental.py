@@ -36,6 +36,17 @@ end. Independent stage appends and the derived-table updates run from
 concurrent driver threads (same pattern as run()), collapsing the fixed
 per-job overhead that dominates small batches.
 
+Fixed-job-count budget (round-6 verdict #3): for batches under
+_DRIVER_IDS_MAX the batch's (doc_id, is_valid) rows are collected to the
+driver ONCE at update start; every shard list (membership scan,
+idempotency scans, the affected-doc histogram, the new-doc singleton
+shards) and every batch count then comes from pure Python instead of a
+dedicated Spark job, and the affected set / CC edge list are literal
+frames built from one collect of the pinned scored increment. This cuts a
+clean update from 52 to 41 Spark jobs (measured by job-group id count at
+n=400) — on small batches the eliminated fixed per-job overhead, not data
+volume, is the cost. Above the cap every site keeps the DataFrame shape.
+
 Crash-safety model (exactly-once per batch):
   * `extracted` is appended LAST. Batch membership is decided by an anti-join
     against `extracted`, so a crash after any earlier append makes the replay
@@ -95,6 +106,15 @@ _LOG = logging.getLogger("fastdup_spark.incremental")
 # this the membership/idempotency joins fall back to shuffled anti-joins —
 # a batch that size is a backfill, not a streaming increment.
 _BROADCAST_BATCH_MAX = 2_000_000
+# Largest batch whose id/validity set is collected to the DRIVER once at
+# update start (≤ ~5 MB). Below this every per-batch shard set (membership
+# scan, idempotency scans, the affected-doc histogram, the new-doc singleton
+# shards) is computed in pure Python from that one list instead of a
+# dedicated Spark collect job each — the fixed per-job overhead those jobs
+# carried is what dominates small batches on the update path (round-6
+# verdict #3). Above the cap (bulk backfill) every site falls back to the
+# DataFrame shape unchanged.
+_DRIVER_IDS_MAX = 200_000
 # Largest new-edge set resolved by the driver-side union-find contraction;
 # bigger batches (bulk backfills) fall back to the distributed
 # large-star/small-star job. 2M labeled edges ≈ 50 MB on the driver.
@@ -139,15 +159,21 @@ def _footer_hwm(fd, stage: str = "extracted", col: str = "warc_ts"):
 
 
 def _pruned_ids(fd, stage: str, batch_ids: DataFrame,
-                _debug: dict | None = None, _dbg_key: str = "") -> DataFrame:
+                _debug: dict | None = None, _dbg_key: str = "",
+                ids_local: list | None = None) -> DataFrame:
     """The ``doc_id`` column of a stage table, partition-pruned to the
     shards that could hold a batch doc (exact: a doc's rows always land in
     pmod(doc_id, N)). Falls back to the full column-pruned scan for
-    pre-shard-layout tables."""
+    pre-shard-layout tables. ``ids_local`` (the batch's ids already on the
+    driver) computes the shard list in pure Python instead of a Spark
+    collect job."""
     params = fd.store.shard_params(stage)
     if params is None:
         return fd.store.read(fd.spark, stage).select("doc_id")
-    shards = _shards_of(batch_ids, params[1])
+    if ids_local is not None:
+        shards = sorted({_shard_of(i, params[1]) for i in ids_local})
+    else:
+        shards = _shards_of(batch_ids, params[1])
     scan = fd.store.read(fd.spark, stage, keep_shard=True) \
         .filter(F.col(SHARD_COL).isin(shards)).select("doc_id")
     if _debug is not None and _dbg_key:
@@ -222,7 +248,6 @@ def incremental_update(fd, new_pages: DataFrame,
         (F.col("_ex.error_code") == "").alias("is_valid"),
     ).localCheckpoint(eager=True)
     n_batch_raw = ext.count()  # cheap: counts the pinned batch, not lineage
-    batch_ids = ext.select("doc_id").distinct()
     _mark("extract")
 
     # batch membership = not yet in `extracted` (valid OR quarantined).
@@ -231,19 +256,54 @@ def incremental_update(fd, new_pages: DataFrame,
     # corpus-sized side is never shuffled and only the batch's shards are
     # read (module docstring); `already` (the redelivered ids) is
     # batch-bounded.
-    if n_batch_raw <= _BROADCAST_BATCH_MAX:
-        existing_scan = _pruned_ids(fd, "extracted", batch_ids,
-                                    _debug, "membership_src_plan")
-        already = existing_scan.join(F.broadcast(batch_ids), "doc_id",
-                                     "left_semi").distinct() \
-            .localCheckpoint(eager=True)
-        batch = ext.join(F.broadcast(already), "doc_id", "left_anti")
+    batch_local = None  # driver-side (doc_id, is_valid) rows (round-6 #3)
+    if n_batch_raw <= min(_BROADCAST_BATCH_MAX, _DRIVER_IDS_MAX):
+        # DRIVER-SIDE id path: one collect of the pinned batch's id/validity
+        # columns replaces the per-site shard-collect jobs, the fused-count
+        # aggregate, and (when nothing is redelivered — the common case)
+        # the membership anti-join itself.
+        batch_local = ext.select("doc_id", "is_valid").collect()
+        batch_id_list = sorted({r["doc_id"] for r in batch_local})
+        batch_ids = spark.createDataFrame(
+            [(i,) for i in batch_id_list], "doc_id bigint")
+        membership_scan = _pruned_ids(fd, "extracted", batch_ids,
+                                      _debug, "membership_src_plan",
+                                      ids_local=batch_id_list)
+        already_q = membership_scan.join(F.broadcast(batch_ids), "doc_id",
+                                         "left_semi").distinct()
+        if _debug is not None:
+            _debug["membership_plan"] = _plan_text(already_q)
+        already_set = {r["doc_id"] for r in already_q.collect()}
+        if already_set:
+            already = spark.createDataFrame(
+                [(i,) for i in sorted(already_set)], "doc_id bigint")
+            batch = ext.join(F.broadcast(already), "doc_id", "left_anti")
+        else:
+            batch = ext  # nothing redelivered: the batch IS the increment
+        n_new = sum(1 for r in batch_local
+                    if r["is_valid"] and r["doc_id"] not in already_set)
+        n_new_bad = sum(1 for r in batch_local
+                        if not r["is_valid"] and r["doc_id"] not in already_set)
+        new_ids_local = sorted({r["doc_id"] for r in batch_local
+                                if r["is_valid"]
+                                and r["doc_id"] not in already_set})
         membership = "broadcast"
     else:
-        # bulk backfill: fall back to the shuffled anti-join
-        batch = ext.join(store.read(spark, "extracted").select("doc_id"),
-                         "doc_id", "left_anti")
-        membership = "shuffle"
+        batch_ids = ext.select("doc_id").distinct()
+        batch_id_list = new_ids_local = None
+        if n_batch_raw <= _BROADCAST_BATCH_MAX:
+            existing_scan = _pruned_ids(fd, "extracted", batch_ids,
+                                        _debug, "membership_src_plan")
+            already = existing_scan.join(F.broadcast(batch_ids), "doc_id",
+                                         "left_semi").distinct() \
+                .localCheckpoint(eager=True)
+            batch = ext.join(F.broadcast(already), "doc_id", "left_anti")
+            membership = "broadcast"
+        else:
+            # bulk backfill: fall back to the shuffled anti-join
+            batch = ext.join(store.read(spark, "extracted").select("doc_id"),
+                             "doc_id", "left_anti")
+            membership = "shuffle"
     new_docs = batch.filter(F.col("is_valid")).select(
         "doc_id", "url", "warc_ts", "lang", "text")
     new_bad = batch.filter(~F.col("is_valid")).select(
@@ -253,12 +313,14 @@ def incremental_update(fd, new_pages: DataFrame,
     if _debug is not None:
         _debug["clean_history"] = clean_history
         _debug["membership"] = membership
-        _debug["membership_plan"] = _plan_text(new_docs)
-    # fused batch counts: one tiny job over the pinned batch
-    crow = batch.agg(
-        F.count(F.when(F.col("is_valid"), 1)).alias("ok"),
-        F.count(F.when(~F.col("is_valid"), 1)).alias("bad")).collect()[0]
-    n_new, n_new_bad = int(crow["ok"]), int(crow["bad"])
+        _debug.setdefault("membership_plan", _plan_text(new_docs))
+        _debug["driver_ids"] = batch_local is not None
+    if batch_local is None:
+        # fused batch counts: one tiny job over the pinned batch
+        crow = batch.agg(
+            F.count(F.when(F.col("is_valid"), 1)).alias("ok"),
+            F.count(F.when(~F.col("is_valid"), 1)).alias("bad")).collect()[0]
+        n_new, n_new_bad = int(crow["ok"]), int(crow["bad"])
     _mark("membership")
     if n_new == 0 and n_new_bad == 0:
         # fully-redelivered batch. If a prior run crashed AFTER the extracted
@@ -272,7 +334,13 @@ def incremental_update(fd, new_pages: DataFrame,
         return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
                 "path": "heal_rebuild" if marker_stale else "noop",
                 "hwm": str(hwm)}
-    new_ids = new_docs.select("doc_id")
+    if new_ids_local is not None:
+        # literal frame: every downstream broadcast/semi sees a known-tiny
+        # relation and no job ever re-derives the id set
+        new_ids = spark.createDataFrame(
+            [(i,) for i in new_ids_local], "doc_id bigint")
+    else:
+        new_ids = new_docs.select("doc_id").distinct()
 
     # ghosts: docs a crashed batch left uncommitted that THIS batch does not
     # redeliver — quarantined from every derivation (module docstring).
@@ -412,7 +480,7 @@ def incremental_update(fd, new_pages: DataFrame,
         batch's copies."""
         if clean_history:
             return df
-        present = _pruned_ids(fd, stage, batch_ids) \
+        present = _pruned_ids(fd, stage, batch_ids, ids_local=batch_id_list) \
             .join(F.broadcast(new_ids), "doc_id", "left_semi").distinct()
         return df.join(F.broadcast(present), "doc_id", "left_anti")
 
@@ -541,26 +609,47 @@ def incremental_update(fd, new_pages: DataFrame,
         _LOG.info("incremental: stale extracted marker — taking the "
                   "full-rebuild path to heal derived tables")
         affected, new_cc_edges, new_ids_arg = None, None, None
+        affected_local = None
     else:
         # unified scope (clean batch AND crashed-batch replay): rel_active
         # already holds every persisted pair touching a doc committing in
         # this batch — a replay of a crashed batch finds its pairs here
         # even though its own scored_new anti-joined them away. Ghost-
         # touching edges are absent by construction (deferred).
-        affected = (
-            rel_active.select(F.col("src").alias("doc_id"))
-            .unionByName(rel_active.select(F.col("dst").alias("doc_id")))
-            .unionByName(new_ids)
-            .distinct()
-        )
-        new_cc_edges = rel_active.filter(
-            F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
+        if new_ids_local is not None and n_rel <= _DRIVER_IDS_MAX:
+            # driver-side scope: rel_active is pinned and batch-bounded —
+            # ONE collect yields the affected set, its shard histogram, and
+            # the CC edge list, replacing the affected-pin job, the shard-
+            # histogram job, and the new-doc shard collects in finalize
+            rel_rows = rel_active.select("src", "dst", "jaccard").collect()
+            affected_local = sorted({r["src"] for r in rel_rows}
+                                    | {r["dst"] for r in rel_rows}
+                                    | set(new_ids_local))
+            affected = spark.createDataFrame(
+                [(i,) for i in affected_local], "doc_id bigint")
+            cc_local = [(int(r["src"]), int(r["dst"])) for r in rel_rows
+                        if r["jaccard"] >= cfg.cc_threshold]
+            new_cc_edges = spark.createDataFrame(
+                cc_local, "src bigint, dst bigint") if cc_local else \
+                spark.createDataFrame([], "src bigint, dst bigint")
+        else:
+            affected_local = None
+            affected = (
+                rel_active.select(F.col("src").alias("doc_id"))
+                .unionByName(rel_active.select(F.col("dst").alias("doc_id")))
+                .unionByName(new_ids)
+                .distinct()
+            )
+            new_cc_edges = rel_active.filter(
+                F.col("jaccard") >= cfg.cc_threshold).select("src", "dst")
         new_ids_arg = new_ids
     touched = _finalize_bookkeeping(fd, n_appended_pairs=int(n_pairs),
                                     affected=affected,
                                     new_cc_edges=new_cc_edges,
                                     new_ids=new_ids_arg,
                                     n_edges_hint=int(n_rel),
+                                    affected_local=affected_local,
+                                    new_ids_local=new_ids_local,
                                     _timings=_timings, _t0=_t0)
     _mark("finalize")
 
@@ -674,6 +763,8 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                           new_cc_edges: DataFrame | None = None,
                           new_ids: DataFrame | None = None,
                           n_edges_hint: int | None = None,
+                          affected_local: list | None = None,
+                          new_ids_local: list | None = None,
                           _timings: dict | None = None,
                           _t0: float | None = None) -> int:
     """Post-append bookkeeping: counts, markers, derived tables, manifest.
@@ -799,13 +890,21 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
         store.write_sharded(info, "component_info", fd._chash, n_sh,
                             id_col="component_id")
     else:
-        aff = affected.localCheckpoint(eager=True)
-        # shard histogram of the affected set: ONE tiny job yields both the
-        # touched-doc count and the touched-shard list
-        srows = aff.groupBy(shard_expr("doc_id", n_sh).alias("s")) \
-            .agg(F.count("*").alias("c")).collect()
-        touched = int(sum(r["c"] for r in srows))
-        aff_shards = sorted(r["s"] for r in srows)
+        if affected_local is not None:
+            # the affected set is already a driver-side literal frame —
+            # touched count and shard list come from pure Python, skipping
+            # the pin job and the shard-histogram job
+            aff = affected
+            touched = len(affected_local)
+            aff_shards = sorted({_shard_of(i, n_sh) for i in affected_local})
+        else:
+            aff = affected.localCheckpoint(eager=True)
+            # shard histogram of the affected set: ONE tiny job yields both
+            # the touched-doc count and the touched-shard list
+            srows = aff.groupBy(shard_expr("doc_id", n_sh).alias("s")) \
+                .agg(F.count("*").alias("c")).collect()
+            touched = int(sum(r["c"] for r in srows))
+            aff_shards = sorted(r["s"] for r in srows)
 
         # ONE column-pruned pass over the pair table serves knn AND best_nn:
         # every pair touching an affected doc (broadcast semi, no shuffle).
@@ -871,6 +970,18 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
             _record_outlier_cutoff(fd, extra={
                 "rank_path": rank_stats.get("path")}, out_frame=out_new)
 
+        # shard set of the batch's new docs — pure Python when the ids are
+        # already on the driver, else one collect shared by both uses below
+        _nid_shards_memo: list = []
+
+        def _new_id_shards() -> list[int]:
+            if not _nid_shards_memo:
+                _nid_shards_memo.append(
+                    sorted({_shard_of(i, n_sh) for i in new_ids_local})
+                    if new_ids_local is not None
+                    else _shards_of(new_ids, n_sh))
+            return _nid_shards_memo[0]
+
         def _upd_components():
             # --- assignments: CC by contraction (exact — see module
             # docstring). The component-label edge list is batch-bounded;
@@ -930,7 +1041,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
             else:
                 # no merges: only the new docs' singleton rows change —
                 # ZERO assignments-table scans
-                asg_shards = _shards_of(new_ids, n_sh)
+                asg_shards = _new_id_shards()
                 asg_part = (
                     store.read(spark, "assignments", keep_shard=True)
                     .filter(F.col(SHARD_COL).isin(asg_shards)).drop(SHARD_COL)
@@ -970,8 +1081,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                     "component_id", "doc_id")), "doc_id", "left_anti") \
                     .select(F.col("doc_id").alias("component_id"),
                             F.lit(1).cast("long").alias("count"))
-                cid_shards = sorted(set(ref_shards)
-                                    | set(_shards_of(new_ids, n_sh)))
+                cid_shards = sorted(set(ref_shards) | set(_new_id_shards()))
                 keep_old = (
                     store.read(spark, "component_info", keep_shard=True)
                     .filter(F.col(SHARD_COL).isin(cid_shards)).drop(SHARD_COL)
@@ -980,7 +1090,7 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                 info_part = keep_old.unionByName(target_df).unionByName(singles)
             else:
                 # no merges: every new doc becomes a count-1 singleton
-                cid_shards = _shards_of(new_ids, n_sh)
+                cid_shards = _new_id_shards()
                 info_part = (
                     store.read(spark, "component_info", keep_shard=True)
                     .filter(F.col(SHARD_COL).isin(cid_shards)).drop(SHARD_COL)
