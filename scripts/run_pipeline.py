@@ -26,10 +26,12 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--input-format", default="parquet",
                     help="parquet (default), iceberg, or warc")
-    ap.add_argument("--store-shards", type=int, default=32,
-                    help="hash-bucket count for the derived stage tables "
-                         "(size so one shard fits an executor's write "
-                         "budget; O(1e4-1e5) at 10^12 docs)")
+    ap.add_argument("--store-shards", type=int, default=None,
+                    help="hash-bucket count for the stage tables. Default "
+                         "auto-scales with corpus size (~25k docs/shard, "
+                         "pow2, capped 65536 — config.resolve_store_shards) "
+                         "and persists in store_layout.json; override to "
+                         "pin a layout")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
