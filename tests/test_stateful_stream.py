@@ -3,6 +3,7 @@ survive across micro-batches AND across query restarts (checkpoint), and
 event-time windows must finalize under the watermark."""
 
 import datetime as dt
+import os
 import time
 
 import pandas as pd
@@ -147,13 +148,27 @@ def test_timed_out_invocation_evicts_and_emits_nothing():
     assert not st.exists, "timed-out state must be removed"
 
 
-def _run_ttl_stream(spark, indir, ckpt, transform, sink_rows, expect_rows,
-                    timeout_s=90):
+def _latest_batch_id(d):
+    try:
+        ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+    except FileNotFoundError:
+        return -1
+    return max(ids) if ids else -1
+
+
+def _run_ttl_stream(spark, indir, ckpt, transform, sink_rows, expect_urls,
+                    timeout_s=120):
     """TTL variant of _run_stream: a query with armed ProcessingTimeTimeouts
     never self-terminates (the state-cleanup trigger stays alive as long as
-    ANY key has a future timeout), so stop it once the batch's rows land.
+    ANY key has a future timeout), so it must be stop()ed manually. Two
+    ordered waits make that deterministic under load:
+      1. wait for the EXPECTED urls, not a row count — if an earlier run was
+         stopped pre-commit, this run replays that batch first and a count
+         wait would release before the new data is processed;
+      2. wait for the data micro-batch's commit-log entry, so stop() never
+         strands an uncommitted batch for the NEXT run to replay.
     Timed-out keys are invoked in the SAME micro-batch as the new data, so
-    eviction has already happened by then."""
+    eviction has already happened by the time the rows land."""
     stream = spark.readStream.schema(SCHEMA).parquet(indir)
     q = (
         transform(stream).writeStream
@@ -164,11 +179,20 @@ def _run_ttl_stream(spark, indir, ckpt, transform, sink_rows, expect_rows,
         .start()
     )
     t0 = time.time()
-    while len(sink_rows) < expect_rows and time.time() - t0 < timeout_s:
+    while (not expect_urls <= {r["url"] for r in sink_rows}
+           and time.time() - t0 < timeout_s):
+        time.sleep(0.2)
+    assert expect_urls <= {r["url"] for r in sink_rows}, \
+        f"stream missing rows: {expect_urls - {r['url'] for r in sink_rows}}"
+    # offsets log is written before a batch runs, commits after it finishes;
+    # the rows' batch is the latest started, so once commits catches up to
+    # offsets-at-rows-landed that batch is durable.
+    pending = _latest_batch_id(os.path.join(ckpt, "offsets"))
+    while (_latest_batch_id(os.path.join(ckpt, "commits")) < pending
+           and time.time() - t0 < timeout_s):
         time.sleep(0.2)
     q.stop()
     q.awaitTermination()
-    assert len(sink_rows) >= expect_rows, "stream produced too few rows"
 
 
 def test_dup_state_ttl_evicts_idle_hashes(spark, tmp_path):
@@ -181,19 +205,19 @@ def test_dup_state_ttl_evicts_idle_hashes(spark, tmp_path):
 
     _write_batch(spark, indir, [("https://a/1", t, "shared text body")])
     ev1 = []
-    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev1, 1)
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev1, {"https://a/1"})
     assert not ev1[0]["is_dup"]
 
     time.sleep(2.5)  # let the processing-time ttl lapse
     # unrelated key triggers a micro-batch -> the idle hash times out
     _write_batch(spark, indir, [("https://b/1", t, "unrelated")])
     ev2 = []
-    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev2, 1)
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev2, {"https://b/1"})
     assert {r["url"] for r in ev2} == {"https://b/1"}
 
     # same content as batch 1, new url: state was evicted -> first-seen again
     _write_batch(spark, indir, [("https://c/1", t, "shared text body")])
     ev3 = []
-    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev3, 1)
+    _run_ttl_stream(spark, indir, ckpt, ttl_transform, ev3, {"https://c/1"})
     c = {r["url"]: r for r in ev3}["https://c/1"]
     assert not c["is_dup"] and c["first_url"] == "https://c/1"
