@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship near-dup pipeline on sf0.001.
 ``queries()`` exposes one entry per implemented operator from SURVEY.md §2;
-``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
-SQL-expressible one (non-SQL ops — MinHash/LSH/CC/KMeans — get rows-only
-checks per the contract).
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every entry —
+including the once rows-only ops (CC via recursive CTEs, simhash via a
+shingle-hash dump, hyperplane-LSH ANN via a plane-matrix dump).
 """
 
 from __future__ import annotations
@@ -807,20 +807,60 @@ def q_simhash_near_dup(spark, sf):
     )
 
 
+# The ann_cosine_lsh oracle (round-6, closes the last rows-only row): the
+# hyperplane matrix is deterministic in (dim, n_planes, n_bands, seed) and
+# both engines compute DOUBLE dot products, so DuckDB can replay the sign
+# buckets, the multiprobe XOR fan-out, and the rounded-cosine re-rank from
+# a dump of the planes alone. Sign robustness is empirical and wide: at
+# sf0.01 the smallest |dot| is ~9e-5 vs ~1e-15 cross-engine summation
+# noise. Driver ordering guarantees the dump exists (oracle runs right
+# after its own Spark query, same as _SIMHASH_DUMP).
+_LSH_PLANES_DUMP = "/tmp/fastdup_spark_lsh_planes.parquet"
+_LSH_N_PLANES, _LSH_N_BANDS, _LSH_SEED = 5, 8, 7
+
+
+def _write_lsh_planes_dump(dim: int):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastdup_spark.operators.knn import _plane_sets
+
+    planes = _plane_sets(dim, _LSH_N_PLANES, _LSH_N_BANDS, _LSH_SEED)
+    bands, pls, ws = [], [], []
+    for b in range(_LSH_N_BANDS):
+        for p in range(_LSH_N_PLANES):
+            bands.append(b)
+            pls.append(p)
+            ws.append(planes[b, :, p].tolist())
+    pq.write_table(
+        pa.table({"band": pa.array(bands, pa.int32()),
+                  "plane": pa.array(pls, pa.int32()),
+                  "w": pa.array(ws, pa.list_(pa.float64()))}),
+        _LSH_PLANES_DUMP)
+
+
 def q_ann_cosine_lsh(spark, sf):
     """Multi-band multiprobe hyperplane-LSH ANN top-k (scale path; brute
     force is the SQL-checked baseline q_cosine_to_query). 8 bands x 5 planes
     + 1-bit multiprobe: recall ~0.98 vs brute force on this near-isotropic
     testdata (tests/test_ann.py). Sign-LSH candidate cost is n^rho
     (rho=ln p1/ln p2 ~ 0.76 at cos 0.3), so n_planes should grow with
-    log2(n) at scale; this config is tuned for the driver's sf."""
+    log2(n) at scale; this config is tuned for the driver's sf.
+    Oracle-checked end to end (round 6): dumps the deterministic plane
+    matrix so DuckDB replays buckets + probes + rounded-cosine top-k; the
+    cosine is rounded to 3 BEFORE the cut in both engines (same device as
+    q_ann_cosine_ivf) so the k-boundary is identical."""
     from fastdup_spark.operators.knn import cosine_topk_lsh, hyperplane_buckets
 
     e = _t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    _write_lsh_planes_dump(len(qv))
     bucketed = hyperplane_buckets(e.filter(F.col("vec_id") != 0),
-                                  n_planes=5, n_bands=8)
-    return cosine_topk_lsh(bucketed, qv, n_planes=5, n_bands=8, k=10)
+                                  n_planes=_LSH_N_PLANES, n_bands=_LSH_N_BANDS,
+                                  seed=_LSH_SEED)
+    return cosine_topk_lsh(bucketed, qv, n_planes=_LSH_N_PLANES,
+                           n_bands=_LSH_N_BANDS, seed=_LSH_SEED, k=10,
+                           round_to=3)
 
 
 _KMEANS_CACHE: dict = {}
@@ -873,9 +913,10 @@ def q_ann_cosine_ivf(spark, sf, nprobe=3, k=10):
     nearest centroids (squared distance rounded to 6 so the list choice is
     stable across float summation orders, ties to the lowest list), and
     the exact cosine ranks only those lists' members. Deterministic end to
-    end -> DuckDB replays the identical trajectory, unlike the
-    hyperplane-LSH probe (ann_cosine_lsh, rows-only). Cosine rounded to 3
-    in BOTH engines BEFORE the top-k so the cut is identical."""
+    end -> DuckDB replays the identical trajectory (the hyperplane-LSH
+    probe ann_cosine_lsh is replayed the same way from its plane dump).
+    Cosine rounded to 3 in BOTH engines BEFORE the top-k so the cut is
+    identical."""
     from fastdup_spark.functions.similarity import cosine_expr
     from fastdup_spark.operators.knn import probe_lists
 
@@ -945,7 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_many": q_search_many,
         "gopher_rules": q_gopher_rules,
         "repetition_scores": q_repetition_scores,
-        # non-SQL (rows-only)
+        # once rows-only, all oracle-checked now: CC via recursive-CTE
+        # oracles, simhash via the shingle-hash dump, ann_cosine_lsh via
+        # the hyperplane-matrix dump (round 6 — zero rows-only rows left)
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_best_neighbor": q_doc_best_neighbor,
         "dedup_survivors": q_dedup_survivors,
@@ -1909,4 +1952,46 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY cluster
         """,
         "ann_cosine_ivf": _ivf_oracle_sql(),
+        # hyperplane-LSH ANN: replay sign buckets + multiprobe + rounded
+        # re-rank from the dumped deterministic plane matrix (round 6)
+        "ann_cosine_lsh": f"""
+            WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+            pl AS (SELECT band, plane, w
+                   FROM read_parquet('{_LSH_PLANES_DUMP}')),
+            dots AS (
+              SELECT e.vec_id, p.band, p.plane,
+                     list_dot_product(e.v, p.w) AS d
+              FROM ev e CROSS JOIN pl p
+            ),
+            buckets AS (
+              SELECT vec_id, band,
+                     CAST(SUM(CASE WHEN d > 0
+                                   THEN (CAST(1 AS BIGINT) << plane)
+                                   ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id, band
+            ),
+            qb AS (SELECT band, bucket AS base FROM buckets WHERE vec_id = 0),
+            probes AS (
+              SELECT band, base AS bucket FROM qb
+              UNION ALL
+              SELECT qb.band,
+                     xor(qb.base, CAST(1 AS BIGINT) << CAST(g.j AS INT))
+              FROM qb CROSS JOIN generate_series(0, {_LSH_N_PLANES - 1}) g(j)
+            ),
+            cand AS (
+              SELECT DISTINCT b.vec_id
+              FROM buckets b JOIN probes p USING (band, bucket)
+              WHERE b.vec_id <> 0
+            ),
+            q AS (SELECT v AS qv FROM ev WHERE vec_id = 0)
+            SELECT vec_id, cosine FROM (
+              SELECT c.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 3)
+                     + 0.0 AS cosine
+              FROM cand c JOIN ev e USING (vec_id) CROSS JOIN q
+            ) ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
     }

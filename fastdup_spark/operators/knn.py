@@ -147,7 +147,8 @@ def query_probe_buckets(query: list[float] | np.ndarray, n_planes: int = 16,
 def cosine_topk_lsh(bucketed: DataFrame, query: list[float] | np.ndarray,
                     n_planes: int = 16, n_bands: int = 4, seed: int = 7,
                     k: int = 10, radius: int = 1,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int | None = None) -> DataFrame:
     """Approximate top-k: probe the query's bucket in EVERY band, plus the
     1-bit-flip neighbors of each (multiprobe), union the candidates, exact
     cosine on the survivors only.
@@ -155,17 +156,24 @@ def cosine_topk_lsh(bucketed: DataFrame, query: list[float] | np.ndarray,
     ``bucketed`` is the persisted output of `hyperplane_buckets` (the index
     table — partition/cluster by (band, bucket) at scale so probes prune
     files). The probe list is tiny (B*(P+1) rows) -> broadcast semi-join.
+
+    ``round_to`` rounds the cosine BEFORE the top-k cut (ties then break on
+    ``id_col``), making the cut stable across float summation orders — the
+    same device `cosine_topk_ivf`'s driver query uses so an independent
+    engine replaying the ranking lands on the identical row set.
     """
     qv = np.asarray(query, dtype=np.float64)
     probes = query_probe_buckets(qv, n_planes, n_bands, seed, radius)
     spark = bucketed.sparkSession
     probe_df = spark.createDataFrame(probes, "band int, bucket long")
     q = F.array(*[F.lit(float(x)) for x in qv])
+    cos = cosine_expr(F.col(vec_col).cast("array<double>"), q)
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)  # +0.0 normalizes -0.0
     return (
         bucketed.join(F.broadcast(probe_df), ["band", "bucket"], "left_semi")
         .dropDuplicates([id_col])
-        .select(F.col(id_col),
-                cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"))
+        .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

@@ -100,12 +100,11 @@ def test_doc_counts_match_registry():
 
 
 def test_ann_results_subset_of_bruteforce_ranking(spark):
-    """Round-3 verdict item #5: ann_cosine_lsh stays rows-only in the
-    driver contract (hyperplane signs are numpy-side), but its exact-cosine
-    rerank IS checkable in-driver: every retrieved (vec_id, cosine) must
-    appear in the ORACLE-GREEN brute-force ranking (cosine_to_query) with
-    the same cosine, and the retrieved set must be the top of that ranking
-    up to LSH recall (candidates are a subset; rerank is exact)."""
+    """Round-3 verdict item #5 (kept after the round-6 oracle flip as an
+    independent recall pin): every ann_cosine_lsh hit must appear in the
+    ORACLE-GREEN brute-force ranking (cosine_to_query) with the same
+    cosine, and the retrieved set must be the top of that ranking up to
+    LSH recall (candidates are a subset; rerank is exact)."""
     qs = entrymod.queries()
     ann = qs["ann_cosine_lsh"](spark, SF_DIR).toPandas()
     full = qs["cosine_to_query"](spark, SF_DIR).toPandas()
