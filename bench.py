@@ -217,7 +217,12 @@ def main() -> None:
         incremental_trickle = min((t1, t2), key=lambda b: b["update_sec"])
         incremental_trickle["trials_sec"] = [t1["update_sec"],
                                              t2["update_sec"]]
-        incremental = _measure_update(max(50, n_docs // 100), "bench_incr")
+        # min-of-2 for the 1% batch too: a single trial has shown a 2.3x
+        # spread (21.3s vs 49.4s) on identical code in this sandbox
+        i1 = _measure_update(max(50, n_docs // 100), "bench_incr")
+        i2 = _measure_update(max(50, n_docs // 100), "bench_incr2")
+        incremental = min((i1, i2), key=lambda b: b["update_sec"])
+        incremental["trials_sec"] = [i1["update_sec"], i2["update_sec"]]
 
     # representative per-operator queries over the driver's testdata
     qs = entrymod.queries()
