@@ -839,6 +839,40 @@ def _write_lsh_planes_dump(dim: int):
         _LSH_PLANES_DUMP)
 
 
+def q_url_canonical_dedup(spark, sf):
+    """URL-canonicalization dedup (operators/urls.py) — the cheapest tier
+    of a webtext dedup cascade (CCNet/RefinedWeb dedup by canonical URL
+    before content dedup). The testdata has no URL column, so the query
+    derives a deterministic noisy URL per document (case noise, default
+    port, trailing slash, tracking params, fragments — all keyed on
+    doc_id residues, identical expressions in both engines), canonicalizes
+    it with the production expression, and groups. The oracle replays the
+    canonicalization verbatim in DuckDB — possible because
+    canonical_url_expr is regex-capture-group-free by design."""
+    from fastdup_spark.operators.urls import canonical_url_expr
+
+    d = _t(spark, sf, "documents")
+    m = lambda n: (F.col("doc_id") % n).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper(F.col("source")), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), m(40),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), m(7)))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("?id="), m(7), F.lit("&utm_campaign=x")))
+        .when(F.col("doc_id") % 5 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonical_url_expr(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_ann_cosine_lsh(spark, sf):
     """Multi-band multiprobe hyperplane-LSH ANN top-k (scale path; brute
     force is the SQL-checked baseline q_cosine_to_query). 8 bands x 5 planes
@@ -996,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        # URL tier of the dedup cascade (round 6; operators/urls.py)
+        "url_canonical_dedup": q_url_canonical_dedup,
         # kmeans: deterministic Lloyd's -> fully oracle-checked (was rows-only)
         "kmeans_assignments": q_kmeans_assignments,
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
@@ -1952,6 +1988,76 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY cluster
         """,
         "ann_cosine_ivf": _ivf_oracle_sql(),
+        # replay of operators/urls.canonical_url_expr: fragment drop,
+        # scheme/host lowercase, default-port drop, trailing-slash drop,
+        # tracking-param drop with order preserved (no regex capture
+        # groups anywhere, so the Spark and RE2 dialects agree)
+        "url_canonical_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://' || upper(source) || '.Example.COM'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                     || '/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                             WHEN doc_id % 5 = 1
+                             THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                             WHEN doc_id % 5 = 2 THEN '#frag'
+                             ELSE '' END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                     split_part(split_part(url, '#', 1), '?', 1) AS base,
+                     position('?' IN split_part(url, '#', 1)) AS qpos,
+                     split_part(url, '#', 1) AS no_frag
+              FROM u
+            ),
+            pieces AS (
+              SELECT doc_id, base, qpos,
+                     CASE WHEN qpos > 0
+                          THEN substring(no_frag, qpos + 1) ELSE '' END AS query,
+                     regexp_extract(base,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS sh_raw
+              FROM parts
+            ),
+            canon AS (
+              SELECT doc_id,
+                     (CASE WHEN starts_with(lower(sh_raw), 'https://')
+                                AND right(lower(sh_raw), 4) = ':443'
+                           THEN left(lower(sh_raw), length(sh_raw) - 4)
+                           WHEN starts_with(lower(sh_raw), 'http://')
+                                AND right(lower(sh_raw), 3) = ':80'
+                           THEN left(lower(sh_raw), length(sh_raw) - 3)
+                           ELSE lower(sh_raw) END)
+                     || regexp_replace(substring(base, length(sh_raw) + 1),
+                                       '/+$', '')
+                     || (CASE WHEN qpos > 0 AND array_to_string(
+                                list_filter(string_split(query, '&'),
+                                  p -> p <> '' AND NOT (
+                                       starts_with(p, 'utm_')
+                                       OR starts_with(p, 'gclid')
+                                       OR starts_with(p, 'fbclid')
+                                       OR starts_with(p, 'msclkid')
+                                       OR starts_with(p, 'mc_eid'))),
+                                '&') <> ''
+                           THEN '?' || array_to_string(
+                                list_filter(string_split(query, '&'),
+                                  p -> p <> '' AND NOT (
+                                       starts_with(p, 'utm_')
+                                       OR starts_with(p, 'gclid')
+                                       OR starts_with(p, 'fbclid')
+                                       OR starts_with(p, 'msclkid')
+                                       OR starts_with(p, 'mc_eid'))),
+                                '&')
+                           ELSE '' END) AS canonical_url
+              FROM pieces
+            )
+            SELECT canonical_url, count(*) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+        """,
         # hyperplane-LSH ANN: replay sign buckets + multiprobe + rounded
         # re-rank from the dumped deterministic plane matrix (round 6)
         "ann_cosine_lsh": f"""

@@ -26,6 +26,9 @@ from fastdup_spark.operators.textql import (
     content_fingerprint_expr, lang_id_expr, quality_score_expr,
     token_count_bpe_expr, token_count_ws_expr, winnow_fingerprints_expr,
 )
+from fastdup_spark.operators.urls import (
+    canonical_url_expr, url_revisit_dedup, with_canonical_url,
+)
 
 __all__ = [
     "connected_components", "embedding_near_dup", "restrict_cross_set",
@@ -41,4 +44,5 @@ __all__ = [
     "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
     "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",
     "winnow_fingerprints_expr",
+    "canonical_url_expr", "url_revisit_dedup", "with_canonical_url",
 ]
