@@ -873,6 +873,53 @@ def q_url_canonical_dedup(spark, sf):
     )
 
 
+def q_dedup_cascade(spark, sf):
+    """Tiered dedup cascade (operators/cascade.py): canonical-URL revisit
+    dedup -> exact content-hash dedup -> MinHash/LSH/verify/CC near-dup —
+    the CCNet/RefinedWeb production shape, each tier feeding only its
+    survivors to the next. Oracle-checked END TO END: DuckDB replays the
+    full URL canonicalization, the keep-newest window, the text-equality
+    window, the brute-force exact-Jaccard edge set and the recursive
+    label-flood CC over the same derived inputs, and must produce the
+    identical (doc_id, tier, kept_by) decision table.
+
+    Input = documents + planted exact-dup mirrors (ids +10M). URLs/fetch
+    timestamps are derived deterministically from doc_id (the testdata has
+    no URL column): docs with doc_id % 11 == 0 form planted revisit groups
+    under canonicalization noise (case, :443, trailing slash, utm-only
+    query, fragment); everyone else gets a unique path (plus stripped
+    tracking params for %5==1). fetch_ts = doc_id % 89, newest wins, ties
+    to the smallest id."""
+    from fastdup_spark.operators.cascade import dedup_cascade
+
+    d = _docs_with_planted_dups(spark, sf)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    d = d.filter(norm != "")
+    i = F.col("doc_id")
+    url = F.when(
+        i % 11 == 0,
+        F.concat(
+            F.lit("HTTPS://Archive.Example.COM"),
+            F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/r/"), (i % 23).cast("string"),
+            F.when(i % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("?utm_source=f"))
+            .when(i % 5 == 2, F.lit("#frag")).otherwise(F.lit("")))
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"), (i % 13).cast("string"),
+            F.lit(".example.com/d/"), i.cast("string"),
+            F.when(i % 5 == 1,
+                   F.concat(F.lit("?id="), (i % 7).cast("string"),
+                            F.lit("&utm_campaign=x")))
+            .otherwise(F.lit(""))))
+    pages = d.select("doc_id", "text", url.alias("url"),
+                     (i % 89).alias("fetch_ts"))
+    res = dedup_cascade(pages, url_col="url", ts_col="fetch_ts")
+    return res["decisions"]
+
+
 def q_ann_cosine_lsh(spark, sf):
     """Multi-band multiprobe hyperplane-LSH ANN top-k (scale path; brute
     force is the SQL-checked baseline q_cosine_to_query). 8 bands x 5 planes
@@ -1032,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         # URL tier of the dedup cascade (round 6; operators/urls.py)
         "url_canonical_dedup": q_url_canonical_dedup,
+        # full url->exact->near_dup cascade (round 6; operators/cascade.py)
+        "dedup_cascade": q_dedup_cascade,
         # kmeans: deterministic Lloyd's -> fully oracle-checked (was rows-only)
         "kmeans_assignments": q_kmeans_assignments,
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
@@ -2057,6 +2106,154 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n_docs,
                    min(doc_id) AS min_doc_id
             FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+        """,
+        # full cascade replay: canonicalization (same rules as above) ->
+        # keep-newest revisit window -> text-equality window -> brute-force
+        # exact-Jaccard edges + recursive label-flood CC over the survivors
+        "dedup_cascade": r"""
+            WITH RECURSIVE dset AS (
+              SELECT doc_id, text FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id < 500
+                AND trim(regexp_replace(regexp_replace(text,
+                    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            u AS (
+              SELECT doc_id, text, doc_id % 89 AS fetch_ts,
+                     CASE WHEN doc_id % 11 = 0 THEN
+                       'HTTPS://Archive.Example.COM'
+                       || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                       || '/r/' || CAST(doc_id % 23 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=f'
+                               WHEN doc_id % 5 = 2 THEN '#frag'
+                               ELSE '' END
+                     ELSE
+                       'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 5 = 1
+                               THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                                    || '&utm_campaign=x'
+                               ELSE '' END
+                     END AS url
+              FROM dset
+            ),
+            parts AS (
+              SELECT doc_id, text, fetch_ts,
+                     split_part(split_part(url, '#', 1), '?', 1) AS base,
+                     position('?' IN split_part(url, '#', 1)) AS qpos,
+                     split_part(url, '#', 1) AS no_frag
+              FROM u
+            ),
+            pieces AS (
+              SELECT doc_id, text, fetch_ts, base, qpos,
+                     CASE WHEN qpos > 0
+                          THEN substring(no_frag, qpos + 1) ELSE '' END AS query,
+                     regexp_extract(base,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS sh_raw
+              FROM parts
+            ),
+            canon AS (
+              SELECT doc_id, text, fetch_ts,
+                     (CASE WHEN starts_with(lower(sh_raw), 'https://')
+                                AND right(lower(sh_raw), 4) = ':443'
+                           THEN left(lower(sh_raw), length(sh_raw) - 4)
+                           WHEN starts_with(lower(sh_raw), 'http://')
+                                AND right(lower(sh_raw), 3) = ':80'
+                           THEN left(lower(sh_raw), length(sh_raw) - 3)
+                           ELSE lower(sh_raw) END)
+                     || regexp_replace(substring(base, length(sh_raw) + 1),
+                                       '/+$', '')
+                     || (CASE WHEN qpos > 0 AND array_to_string(
+                                list_filter(string_split(query, '&'),
+                                  p -> p <> '' AND NOT (
+                                       starts_with(p, 'utm_')
+                                       OR starts_with(p, 'gclid')
+                                       OR starts_with(p, 'fbclid')
+                                       OR starts_with(p, 'msclkid')
+                                       OR starts_with(p, 'mc_eid'))),
+                                '&') <> ''
+                           THEN '?' || array_to_string(
+                                list_filter(string_split(query, '&'),
+                                  p -> p <> '' AND NOT (
+                                       starts_with(p, 'utm_')
+                                       OR starts_with(p, 'gclid')
+                                       OR starts_with(p, 'fbclid')
+                                       OR starts_with(p, 'msclkid')
+                                       OR starts_with(p, 'mc_eid'))),
+                                '&')
+                           ELSE '' END) AS canonical_url
+              FROM pieces
+            ),
+            r1 AS (
+              SELECT doc_id, text, canonical_url,
+                     row_number() OVER (PARTITION BY canonical_url
+                       ORDER BY fetch_ts DESC, doc_id) AS rn,
+                     first_value(doc_id) OVER (PARTITION BY canonical_url
+                       ORDER BY fetch_ts DESC, doc_id) AS kept
+              FROM canon
+            ),
+            s1 AS (SELECT doc_id, text FROM r1 WHERE rn = 1),
+            r2 AS (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY text
+                       ORDER BY doc_id) AS rn,
+                     min(doc_id) OVER (PARTITION BY text) AS kept
+              FROM s1
+            ),
+            s2 AS (SELECT doc_id, text FROM r2 WHERE rn = 1),
+            toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM s2
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT src, dst FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            )
+            SELECT doc_id, 'url' AS tier, kept AS kept_by
+            FROM r1 WHERE rn > 1
+            UNION ALL
+            SELECT doc_id, 'exact' AS tier, kept AS kept_by
+            FROM r2 WHERE rn > 1
+            UNION ALL
+            SELECT doc_id, 'near_dup' AS tier, component_id AS kept_by
+            FROM comp WHERE doc_id <> component_id
         """,
         # hyperplane-LSH ANN: replay sign buckets + multiprobe + rounded
         # re-rank from the dumped deterministic plane matrix (round 6)

@@ -1,3 +1,4 @@
+from fastdup_spark.operators.cascade import dedup_cascade
 from fastdup_spark.operators.cc import connected_components
 from fastdup_spark.operators.crossset import embedding_near_dup, restrict_cross_set
 from fastdup_spark.operators.dedup import (
@@ -31,6 +32,7 @@ from fastdup_spark.operators.urls import (
 )
 
 __all__ = [
+    "dedup_cascade",
     "connected_components", "embedding_near_dup", "restrict_cross_set",
     "duplicates_to_drop", "exact_dup_groups", "keep_first_policy",
     "majority_label_policy", "best_nn_per_query", "cosine_topk_bruteforce",
