@@ -234,6 +234,21 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # tiered-cascade economics (operators/cascade.py): run the full
+    # url -> exact -> near_dup cascade over the driver query's derived
+    # input and report per-tier drops — the evidence that the cheap JVM
+    # tiers shrink the corpus before the expensive signature pass.
+    # Separate block (NOT in the queries total) to keep the headline
+    # metric comparable round-over-round.
+    cascade = None
+    if os.environ.get("BENCH_CASCADE", "1") != "0":
+        t0 = time.time()
+        dec = qs["dedup_cascade"](spark, SF_DIR).groupBy("tier").count().collect()
+        cascade = {
+            "sec": round(time.time() - t0, 3),
+            "dropped_by_tier": {r["tier"]: r["count"] for r in dec},
+        }
+
     spark.stop()
 
     # scaling-efficiency proxy (BASELINE.md): same job, same input, N vs 4N
@@ -274,6 +289,7 @@ def main() -> None:
         "summary": summ,
         "incremental": incremental,
         "incremental_trickle": incremental_trickle,
+        "cascade": cascade,
         "scaling": scaling,
         "kernel_scaling_rows_per_s": kernel,
     }
@@ -297,6 +313,10 @@ def main() -> None:
                             f"(touched {blk['touched_docs']}, "
                             f"shards rewritten of {blk['store_shards']}: "
                             f"{blk['shards_rewritten']})\n")
+            if cascade:
+                f.write(f"- dedup cascade (url->exact->near_dup): "
+                        f"{cascade['sec']}s, dropped "
+                        f"{cascade['dropped_by_tier']}\n")
             if scaling:
                 f.write(f"- scaling: local[{scaling['cores_low']}]={scaling['sec_low']}s "
                         f"({scaling['throughput_low_docs_h']:,.0f} docs/h), "
