@@ -195,6 +195,19 @@ def q_passage_dedup(spark, sf):
     )
 
 
+def q_passage_removal(spark, sf):
+    """Corpus-rewriting form of passage_dedup (CCNet drop-everywhere
+    semantics over Lee et al. fixed 20-word chunks): every doc rewritten
+    with cross-doc repeated chunks removed, sub-chunk tail preserved.
+    Pure built-in expressions (operators/passages.py); DuckDB replays the
+    chunking, the repeated-key set, the ordered reassembly and the tail
+    verbatim."""
+    from fastdup_spark.operators.passages import remove_repeated_passages
+
+    d = _docs_with_planted_dups(spark, sf)
+    return remove_repeated_passages(d)
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "decontamination": q_decontamination,
         "passage_dedup": q_passage_dedup,
+        "passage_removal": q_passage_removal,
         "content_fingerprint": q_content_fingerprint,
         # text analysis
         "doc_char_classes": q_doc_char_classes,
@@ -1391,6 +1405,52 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs,
                    count(*) AS n_occurrences
             FROM ch GROUP BY md5(passage) HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "passage_removal": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id < 500
+            ),
+            toks AS (SELECT doc_id, {tok} AS w FROM docs),
+            ch AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(w[(i-1)*20+1 : i*20], ' ') AS passage
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, len(w) // 20 + 1)) AS i
+                    FROM toks)
+            ),
+            rep AS (
+              SELECT md5(passage) AS pk FROM ch
+              GROUP BY md5(passage) HAVING count(DISTINCT doc_id) >= 2
+            ),
+            body AS (
+              SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS body
+              FROM ch WHERE md5(passage) NOT IN (SELECT pk FROM rep)
+              GROUP BY doc_id
+            ),
+            drops AS (
+              SELECT doc_id, count(*) AS n_dropped
+              FROM ch WHERE md5(passage) IN (SELECT pk FROM rep)
+              GROUP BY doc_id
+            ),
+            base AS (
+              SELECT doc_id, len(w) // 20 AS n_chunks,
+                     CASE WHEN len(w) > (len(w) // 20) * 20
+                          THEN array_to_string(
+                            w[(len(w) // 20) * 20 + 1 : len(w)], ' ')
+                          ELSE '' END AS tail
+              FROM toks
+            )
+            SELECT b.doc_id,
+                   concat_ws(' ',
+                     CASE WHEN coalesce(o.body, '') <> '' THEN o.body END,
+                     CASE WHEN b.tail <> '' THEN b.tail END) AS clean_text,
+                   b.n_chunks,
+                   coalesce(d.n_dropped, 0) AS n_dropped
+            FROM base b
+            LEFT JOIN body o ON b.doc_id = o.doc_id
+            LEFT JOIN drops d ON b.doc_id = d.doc_id
         """,
         "content_fingerprint": """
             SELECT doc_id,

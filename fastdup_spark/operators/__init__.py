@@ -21,6 +21,9 @@ from fastdup_spark.operators.outliers import (
     best_neighbor, exact_rank_head, outliers_by_percentile,
 )
 from fastdup_spark.operators.pagerank import pagerank
+from fastdup_spark.operators.passages import (
+    passage_chunks, remove_repeated_passages,
+)
 from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
 from fastdup_spark.operators.stats import doc_stats, summary_stats
 from fastdup_spark.operators.textql import (
@@ -42,7 +45,8 @@ __all__ = [
     "kmeans_fit",
     "band_buckets", "bucket_stats", "candidate_pairs", "lsh_candidates",
     "salt_buckets", "best_neighbor", "exact_rank_head", "outliers_by_percentile",
-    "pagerank", "simhash_blocks", "simhash_near_dup",
+    "pagerank", "passage_chunks", "remove_repeated_passages",
+    "simhash_blocks", "simhash_near_dup",
     "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
     "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",
     "winnow_fingerprints_expr",

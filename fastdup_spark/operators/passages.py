@@ -1,0 +1,119 @@
+"""Passage-level dedup: identify AND remove cross-doc repeated passages.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") shows duplicated SUBSTRINGS — boilerplate paragraphs, license
+headers, navigation text repeated across pages — matter as much as
+whole-document duplicates. CCNet removes duplicated paragraphs by hash.
+This module is the corpus-rewriting form of the identification query the
+driver already oracle-checks (`passage_dedup`): fixed non-overlapping
+``chunk_words``-word chunks, a chunk dropped from EVERY doc when its
+hash appears in >= ``min_docs`` distinct docs (CCNet drop-everywhere
+semantics — simpler and SQL-replayable, vs. Lee et al.'s keep-one),
+remaining chunks reassembled in order with the sub-chunk tail preserved.
+
+The reference has no passage surface (image engine); this is part of the
+beyond-the-reference LLM-data tier (SURVEY §2 addenda).
+
+Scale shape: one shuffle to count chunk occurrences (groupBy chunk hash,
+map-side partial agg), one shuffle join of chunk rows against the
+repeated-key set (both sides keyed on the hash), one groupBy(doc) to
+reassemble. No collect, no Python UDFs — everything is built-in
+expressions, so the whole plan stays in WholeStageCodegen and the DuckDB
+driver oracle (`passage_removal`) replays it verbatim.
+
+Determinism: output text is the single-space join of the doc's surviving
+normalized tokens — invariant to partitioning (array_sort on (idx,
+passage) structs before the join, no collect_list order reliance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
+def passage_chunks(docs: DataFrame, chunk_words: int = 20,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, idx, passage): non-overlapping ``chunk_words``-word chunks
+    per doc, 1-based idx; docs shorter than one chunk contribute none."""
+    w = _tokens(F.col(text_col))
+    k = chunk_words
+    chunks = F.when(
+        F.size(w) < k, F.array().cast("array<struct<idx:int,passage:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), (F.size(w) / k).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.concat_ws(" ", F.slice(w, (i - 1) * k + 1, k))
+                .alias("passage")),
+        ))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.idx").alias("idx"),
+                F.col("c.passage").alias("passage"))
+    )
+
+
+def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
+                             min_docs: int = 2, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Rewrite the corpus with cross-doc repeated passages removed.
+
+    Returns (doc_id, clean_text, n_chunks, n_dropped): clean_text = the
+    doc's surviving chunks in order plus the sub-chunk tail, single-space
+    joined (whitespace-normalized); n_chunks = full chunks in the doc;
+    n_dropped = chunks removed because their hash appeared in >=
+    ``min_docs`` distinct docs. Every input doc gets exactly one row.
+    """
+    k = chunk_words
+    ch = passage_chunks(docs, k, id_col, text_col) \
+        .withColumn("pk", F.md5("passage"))
+    repeated = (
+        ch.groupBy("pk")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("pk")
+    )
+    flagged = ch.join(repeated, "pk", "left_semi")
+    dropped = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dropped"))
+    body = (
+        ch.join(repeated, "pk", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
+                lambda s: s["passage"]),
+            " ").alias("body"))
+    )
+    w = _tokens(F.col(text_col))
+    n_full = (F.size(w) / k).cast("int")
+    tail = F.when(
+        F.size(w) > n_full * k,
+        F.concat_ws(" ", F.slice(w, n_full * k + 1, F.size(w) - n_full * k))
+    ).otherwise(F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       n_full.cast("long").alias("n_chunks"),
+                       tail.alias("tail"))
+    return (
+        base.join(body, "doc_id", "left").join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.when(F.coalesce(F.col("body"), F.lit("")) != "",
+                       F.col("body")),
+                F.when(F.col("tail") != "", F.col("tail")),
+            ).alias("clean_text"),
+            "n_chunks",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+            .alias("n_dropped"),
+        )
+    )
