@@ -933,6 +933,26 @@ def q_dedup_cascade(spark, sf):
     return res["decisions"]
 
 
+def q_host_cap_filter(spark, sf):
+    """RefinedWeb-style per-host cap (operators/urls.py cap_per_host):
+    keep the 20 newest fetches per host, report everything beyond the
+    cap. URLs derived deterministically from doc_id with scheme-case and
+    port noise so the oracle replays host_expr's substring splits
+    verbatim (no regex capture groups)."""
+    from fastdup_spark.operators.urls import cap_per_host
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.lit("Site"), (i % 13).cast("string"), F.lit(".Example.com"),
+        F.when(i % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/d/"), i.cast("string"))
+    pages = d.select("doc_id", url.alias("url"), (i % 89).alias("fetch_ts"))
+    res = cap_per_host(pages, 20, ts_col="fetch_ts", id_col="doc_id")
+    return res["drop_list"]
+
+
 def q_ann_cosine_lsh(spark, sf):
     """Multi-band multiprobe hyperplane-LSH ANN top-k (scale path; brute
     force is the SQL-checked baseline q_cosine_to_query). 8 bands x 5 planes
@@ -1095,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         # full url->exact->near_dup cascade (round 6; operators/cascade.py)
         "dedup_cascade": q_dedup_cascade,
+        # per-host cap (round 6; RefinedWeb domain-cap analog)
+        "host_cap_filter": q_host_cap_filter,
         # kmeans: deterministic Lloyd's -> fully oracle-checked (was rows-only)
         "kmeans_assignments": q_kmeans_assignments,
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
@@ -2166,6 +2188,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n_docs,
                    min(doc_id) AS min_doc_id
             FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+        """,
+        # per-host cap: replay host_expr's substring splits + the
+        # keep-newest window, report rows beyond the cap
+        "host_cap_filter": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 89 AS fetch_ts,
+                     (CASE WHEN doc_id % 2 = 0
+                           THEN 'HTTPS://' ELSE 'https://' END)
+                     || 'Site' || CAST(doc_id % 13 AS VARCHAR)
+                     || '.Example.com'
+                     || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+                     || '/d/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, fetch_ts,
+                     lower(split_part(split_part(split_part(split_part(
+                       CASE WHEN position('://' IN url) > 0
+                            THEN substring(url, position('://' IN url) + 3)
+                            ELSE '' END,
+                       '/', 1), '?', 1), '#', 1), ':', 1)) AS host
+              FROM u
+            ),
+            r AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY fetch_ts DESC, doc_id) AS host_rank
+              FROM h
+            )
+            SELECT doc_id, host, host_rank FROM r WHERE host_rank > 20
         """,
         # full cascade replay: canonicalization (same rules as above) ->
         # keep-newest revisit window -> text-equality window -> brute-force

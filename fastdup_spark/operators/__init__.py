@@ -31,7 +31,8 @@ from fastdup_spark.operators.textql import (
     token_count_bpe_expr, token_count_ws_expr, winnow_fingerprints_expr,
 )
 from fastdup_spark.operators.urls import (
-    canonical_url_expr, url_revisit_dedup, with_canonical_url,
+    canonical_url_expr, cap_per_host, host_expr, url_revisit_dedup,
+    with_canonical_url,
 )
 
 __all__ = [
@@ -50,5 +51,6 @@ __all__ = [
     "doc_stats", "summary_stats", "content_fingerprint_expr", "lang_id_expr",
     "quality_score_expr", "token_count_bpe_expr", "token_count_ws_expr",
     "winnow_fingerprints_expr",
-    "canonical_url_expr", "url_revisit_dedup", "with_canonical_url",
+    "canonical_url_expr", "cap_per_host", "host_expr", "url_revisit_dedup",
+    "with_canonical_url",
 ]

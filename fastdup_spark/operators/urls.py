@@ -87,6 +87,57 @@ def with_canonical_url(pages: DataFrame, url_col: str = "url",
     return pages.withColumn(out_col, canonical_url_expr(F.col(url_col)))
 
 
+def host_expr(url: Column) -> Column:
+    """url -> lowercased host (authority minus port). Pure substring
+    splits, no regex capture groups (same DuckDB-replayability discipline
+    as canonical_url_expr); urls without '://' yield ''."""
+    rest = F.when(F.instr(url, "://") > 0,
+                  F.substring(url, F.instr(url, "://") + 3, F.lit(1 << 30))) \
+        .otherwise(F.lit(""))
+    return F.lower(
+        F.substring_index(
+            F.substring_index(
+                F.substring_index(F.substring_index(rest, "/", 1), "?", 1),
+                "#", 1),
+            ":", 1))
+
+
+def cap_per_host(pages: DataFrame, max_per_host: int,
+                 url_col: str = "url", ts_col: str | None = "warc_ts",
+                 id_col: str | None = None) -> dict[str, DataFrame]:
+    """RefinedWeb-style per-domain cap (anti-spam/SEO-farm control): keep
+    at most ``max_per_host`` pages per host — the newest fetches first
+    when ``ts_col`` is given, ties (and the ts_col=None case) broken by
+    ``id_col`` or the raw url for determinism.
+
+    Returns ``{"survivors", "drop_list", "host_stats"}``: survivors keep
+    the input columns + ``host``; drop_list = (url/id, host, host_rank)
+    rows beyond the cap; host_stats = (host, n_docs, n_kept). One shuffle
+    on host; everything else map-side — the same scale shape as
+    url_revisit_dedup.
+    """
+    tie = [F.asc(id_col)] if id_col else [F.asc(url_col)]
+    order = ([F.desc(ts_col)] if ts_col else []) + tie
+    h = pages.withColumn("host", host_expr(F.col(url_col)))
+    w = Window.partitionBy("host").orderBy(*order)
+    ranked = h.withColumn("host_rank", F.row_number().over(w))
+    survivors = ranked.filter(F.col("host_rank") <= max_per_host) \
+                      .drop("host_rank")
+    keep_cols = [id_col] if id_col else [url_col]
+    drop_list = (
+        ranked.filter(F.col("host_rank") > max_per_host)
+        .select(*keep_cols, "host",
+                F.col("host_rank").cast("long").alias("host_rank"))
+    )
+    host_stats = (
+        h.groupBy("host").agg(F.count("*").alias("n_docs"))
+        .withColumn("n_kept", F.least(F.col("n_docs"),
+                                      F.lit(max_per_host).cast("long")))
+    )
+    return {"survivors": survivors, "drop_list": drop_list,
+            "host_stats": host_stats}
+
+
 def url_revisit_dedup(pages: DataFrame, url_col: str = "url",
                       ts_col: str = "warc_ts") -> dict[str, DataFrame]:
     """Keep the NEWEST fetch per canonical url (revisit dedup).

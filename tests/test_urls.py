@@ -114,3 +114,57 @@ def test_revisit_dedup_on_fixture_corpus(spark, data):
     kept_noisy = out["survivors"].filter(F.col("url").startswith("HTTPS://"))
     assert kept_noisy.count() == 40
     assert out["groups"].count() == 40
+
+
+def test_host_expr_golden(spark):
+    from fastdup_spark.operators.urls import host_expr
+    cases = [
+        ("HTTPS://Site.Example.COM:8443/a/b?q=1#f", "site.example.com"),
+        ("http://host.com/a", "host.com"),
+        ("https://host.com", "host.com"),
+        ("https://host.com?q=1", "host.com"),
+        ("no-scheme/path", ""),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r["h"] for r in
+           df.select(host_expr(F.col("url")).alias("h")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw!r}: got {g!r}, want {want!r}"
+
+
+def test_cap_per_host(spark):
+    """Keep the 2 newest per host; drop_list carries host_rank > cap;
+    host_stats counts both sides."""
+    import datetime as dt
+    from fastdup_spark.operators.urls import cap_per_host
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, "https://a.com/1", t0),
+        (2, "https://a.com/2", t0 + dt.timedelta(days=1)),
+        (3, "https://a.com/3", t0 + dt.timedelta(days=2)),
+        (4, "https://A.com:443/4", t0 + dt.timedelta(days=3)),
+        (5, "https://b.com/1", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, warc_ts timestamp")
+    res = cap_per_host(df, 2, id_col="doc_id")
+    surv = {r["doc_id"] for r in res["survivors"].collect()}
+    assert surv == {3, 4, 5}  # two newest of a.com (ids 4, 3) + all of b.com
+    drops = {r["doc_id"]: r["host_rank"] for r in res["drop_list"].collect()}
+    assert drops == {2: 3, 1: 4}
+    stats = {r["host"]: (r["n_docs"], r["n_kept"])
+             for r in res["host_stats"].collect()}
+    assert stats == {"a.com": (4, 2), "b.com": (1, 1)}
+
+
+def test_cap_per_host_is_jvm_only(spark):
+    from fastdup_spark.operators.urls import cap_per_host
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".com/"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("warc_ts"))
+    res = cap_per_host(df, 2, id_col="doc_id")
+    for key in ("survivors", "drop_list", "host_stats"):
+        plan = res[key]._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
