@@ -2202,14 +2202,21 @@ def oracle_sql() -> dict[str, str]:
                      || '/d/' || CAST(doc_id AS VARCHAR) AS url
               FROM documents
             ),
-            h AS (
+            a AS (
               SELECT doc_id, fetch_ts,
-                     lower(split_part(split_part(split_part(split_part(
+                     split_part(split_part(split_part(split_part(
                        CASE WHEN position('://' IN url) > 0
                             THEN substring(url, position('://' IN url) + 3)
                             ELSE '' END,
-                       '/', 1), '?', 1), '#', 1), ':', 1)) AS host
+                       '/', 1), '?', 1), '#', 1), '@', -1) AS auth
               FROM u
+            ),
+            h AS (
+              SELECT doc_id, fetch_ts,
+                     lower(CASE WHEN starts_with(auth, '[')
+                                THEN split_part(auth, ']', 1) || ']'
+                                ELSE split_part(auth, ':', 1) END) AS host
+              FROM a
             ),
             r AS (
               SELECT doc_id, host,

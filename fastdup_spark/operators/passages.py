@@ -14,12 +14,16 @@ remaining chunks reassembled in order with the sub-chunk tail preserved.
 The reference has no passage surface (image engine); this is part of the
 beyond-the-reference LLM-data tier (SURVEY §2 addenda).
 
-Scale shape: one shuffle to count chunk occurrences (groupBy chunk hash,
-map-side partial agg), one shuffle join of chunk rows against the
-repeated-key set (both sides keyed on the hash), one groupBy(doc) to
-reassemble. No collect, no Python UDFs — everything is built-in
-expressions, so the whole plan stays in WholeStageCodegen and the DuckDB
-driver oracle (`passage_removal`) replays it verbatim.
+Scale shape (default min_docs=2): ONE window shuffle on the chunk hash
+(is_rep = min(doc_id) != max(doc_id) over the hash — exactly ">= 2
+distinct docs", with no per-key set materialization even when a
+boilerplate chunk occurs in millions of docs) and one groupBy(doc) to
+reassemble — the corpus is chunked once for the flag pass and once for
+the tail/n_chunks projection. Generic min_docs falls back to a
+count-distinct aggregate + left join on the hash. No collect, no Python
+UDFs — everything is built-in expressions, so the whole plan stays in
+WholeStageCodegen and the DuckDB driver oracle (`passage_removal`)
+replays it verbatim.
 
 Determinism: output text is the single-space join of the doc's surviving
 normalized tokens — invariant to partitioning (array_sort on (idx,
@@ -31,9 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(text_col):
-    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+from .textql import ws_tokens_expr as _tokens
 
 
 def passage_chunks(docs: DataFrame, chunk_words: int = 20,
@@ -72,26 +74,43 @@ def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
     n_dropped = chunks removed because their hash appeared in >=
     ``min_docs`` distinct docs. Every input doc gets exactly one row.
     """
+    from pyspark.sql import Window
+
     k = chunk_words
     ch = passage_chunks(docs, k, id_col, text_col) \
         .withColumn("pk", F.md5("passage"))
-    repeated = (
-        ch.groupBy("pk")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("pk")
-    )
-    flagged = ch.join(repeated, "pk", "left_semi")
-    dropped = flagged.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_dropped"))
-    body = (
-        ch.join(repeated, "pk", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
-                lambda s: s["passage"]),
-            " ").alias("body"))
+    if min_docs == 2:
+        # fast path: "appears in >= 2 distinct docs" == min(doc_id) !=
+        # max(doc_id) over the chunk hash — ONE window shuffle, no
+        # repeated-set join, and no per-key collect_set (a boilerplate
+        # chunk can occur in millions of docs at corpus scale)
+        wpk = Window.partitionBy("pk")
+        flagged = ch.withColumn(
+            "is_rep",
+            F.min("doc_id").over(wpk) != F.max("doc_id").over(wpk))
+    else:
+        repeated = (
+            ch.groupBy("pk")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("pk", F.lit(True).alias("is_rep"))
+        )
+        flagged = ch.join(repeated, "pk", "left") \
+            .withColumn("is_rep", F.coalesce(F.col("is_rep"), F.lit(False)))
+    per_doc = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_rep"), 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "passage", "is_rep"))),
+                        lambda s: ~s["is_rep"]),
+                    lambda s: s["passage"]),
+                " ").alias("body"),
+        )
     )
     w = _tokens(F.col(text_col))
     n_full = (F.size(w) / k).cast("int")
@@ -103,7 +122,7 @@ def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
                        n_full.cast("long").alias("n_chunks"),
                        tail.alias("tail"))
     return (
-        base.join(body, "doc_id", "left").join(dropped, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.concat_ws(

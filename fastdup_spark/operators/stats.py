@@ -11,13 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fastdup_spark.operators.textql import ws_tokens_expr
+
 
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
     """Per-doc stats. Image-metric analogs:
     n_chars≈file_size, distinct_token_ratio≈unique, repeated_line_ratio≈blur
     (boilerplate density), digit/punct ratios≈contrast-style intensity stats."""
     t = F.col(text_col)
-    tokens = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    tokens = ws_tokens_expr(t)
     lines = F.split(t, "\n")
     nonblank = F.filter(lines, lambda l: F.trim(l) != "")
     n_chars = F.length(t)

@@ -17,6 +17,16 @@ from fastdup_spark.fixtures.pages import STOPWORDS
 _LATIN_LANGS = ["en", "de", "fr", "es"]
 
 
+def ws_tokens_expr(text_col: Column) -> Column:
+    """The canonical whitespace tokenizer: trim, collapse runs of
+    whitespace to single spaces, split on ' '. This exact boundary is a
+    cross-engine contract — every DuckDB driver oracle replays it as
+    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') —
+    so all surface-word consumers (gopher signals, repetition, doc
+    stats, passage chunking) must share THIS expression, not a copy."""
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
 def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"[\.,!\?;:]", "")), r"\s+")
 
@@ -114,7 +124,7 @@ def gopher_quality_expr(text_col: Column) -> Column:
     Pure JVM expressions; returns a struct of the per-doc signals plus the
     conjunctive `passes` verdict."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    words = ws_tokens_expr(t)
     lines = F.split(t, "\n")
     n_words = F.size(words)
     nd = n_words.cast("double")
@@ -161,7 +171,7 @@ def dup_ngram_fraction_expr(text_col: Column, n: int = 3) -> Column:
     1 - distinct/total over the sliding n-gram list. 0.0 for docs shorter
     than n words. Whole-stage-codegen expressions, no shuffle."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    words = ws_tokens_expr(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),

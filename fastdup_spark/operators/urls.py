@@ -88,18 +88,26 @@ def with_canonical_url(pages: DataFrame, url_col: str = "url",
 
 
 def host_expr(url: Column) -> Column:
-    """url -> lowercased host (authority minus port). Pure substring
-    splits, no regex capture groups (same DuckDB-replayability discipline
-    as canonical_url_expr); urls without '://' yield ''."""
+    """url -> lowercased host: authority minus userinfo (text after the
+    LAST '@' — otherwise u1@spam.com/u2@spam.com would bucket one spam
+    domain under N hosts and evade per-host caps) and minus the port,
+    with bracketed IPv6 literals kept whole ('[2001:db8::1]:8443' ->
+    '[2001:db8::1]', not '[2001'). Pure substring splits, no regex
+    capture groups (same DuckDB-replayability discipline as
+    canonical_url_expr); urls without '://' yield ''."""
     rest = F.when(F.instr(url, "://") > 0,
                   F.substring(url, F.instr(url, "://") + 3, F.lit(1 << 30))) \
         .otherwise(F.lit(""))
-    return F.lower(
+    auth = F.substring_index(
         F.substring_index(
-            F.substring_index(
-                F.substring_index(F.substring_index(rest, "/", 1), "?", 1),
-                "#", 1),
-            ":", 1))
+            F.substring_index(F.substring_index(rest, "/", 1), "?", 1),
+            "#", 1),
+        "@", -1)
+    host = F.when(
+        auth.startswith("["),
+        F.concat(F.substring_index(auth, "]", 1), F.lit("]"))
+    ).otherwise(F.substring_index(auth, ":", 1))
+    return F.lower(host)
 
 
 def cap_per_host(pages: DataFrame, max_per_host: int,
