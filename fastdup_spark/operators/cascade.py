@@ -72,12 +72,14 @@ def _window_tier(d: DataFrame, key, tier: str, id_col: str,
 def dedup_cascade(docs: DataFrame, cfg: PipelineConfig | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
                   url_col: str | None = None, ts_col: str | None = None,
+                  run_exact: bool = True,
                   run_near_dup: bool = True) -> dict[str, DataFrame]:
     """Run the url -> exact -> near_dup cascade over ``docs``.
 
     ``url_col=None`` skips the url tier (no url surface on the input);
     ``ts_col=None`` makes the url tier keep the smallest id instead of the
-    newest fetch. ``run_near_dup=False`` stops after the cheap JVM-only
+    newest fetch. ``run_exact=False`` skips the content-hash tier.
+    ``run_near_dup=False`` stops after the cheap JVM-only
     tiers (their plans contain no Python eval — pinned in tests).
 
     Returns ``{"survivors", "decisions", "tier_counts"}``:
@@ -99,8 +101,10 @@ def dedup_cascade(docs: DataFrame, cfg: PipelineConfig | None = None,
             d, canonical_url_expr(F.col(url_col)), TIER_URL, id_col, order)
         all_drops.append(drops)
 
-    d, drops = _window_tier(d, F.md5(F.col(text_col)), TIER_EXACT, id_col, [])
-    all_drops.append(drops)
+    if run_exact:
+        d, drops = _window_tier(d, F.md5(F.col(text_col)), TIER_EXACT,
+                                id_col, [])
+        all_drops.append(drops)
 
     if run_near_dup:
         from ..plans.pipeline import near_dup_pipeline
@@ -115,7 +119,11 @@ def dedup_cascade(docs: DataFrame, cfg: PipelineConfig | None = None,
         d = d.join(nd_drops.select(F.col("doc_id").alias(id_col)),
                    on=id_col, how="left_anti")
 
-    decisions = reduce(lambda a, b: a.unionByName(b), all_drops)
+    if not all_drops:  # every tier disabled: empty decision table
+        decisions = docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, tier string, kept_by bigint")
+    else:
+        decisions = reduce(lambda a, b: a.unionByName(b), all_drops)
     tier_counts = decisions.groupBy("tier").agg(
         F.count("*").alias("n_dropped"))
     return {"survivors": d, "decisions": decisions,

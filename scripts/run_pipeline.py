@@ -32,6 +32,14 @@ def main() -> None:
                          "pow2, capped 65536 — config.resolve_store_shards) "
                          "and persists in store_layout.json; override to "
                          "pin a layout")
+    ap.add_argument("--pre-dedup", default=None,
+                    help="comma list of cheap cascade tiers to run BEFORE "
+                         "the near-dup pipeline: 'url', 'exact' or "
+                         "'url,exact' (operators/cascade.py; the url tier "
+                         "needs url + warc_ts columns). Drop decisions are "
+                         "written to <work-dir>/pre_dedup_decisions; the "
+                         "pipeline then runs on the survivors only. "
+                         "parquet/iceberg inputs only")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -47,8 +55,39 @@ def main() -> None:
         store_shards=args.store_shards,
     )
     fd = FastdupSpark(spark, args.work_dir, cfg)
-    summary = fd.run(input_path=args.input, force=args.force,
-                 input_format=args.input_format)
+
+    pages = None
+    pre_dedup = None
+    if args.pre_dedup:
+        tiers = {t.strip() for t in args.pre_dedup.split(",") if t.strip()}
+        bad = tiers - {"url", "exact"}
+        if bad:
+            raise SystemExit(f"--pre-dedup: unknown tiers {sorted(bad)} "
+                             "(choose from url, exact)")
+        if args.input_format == "warc":
+            raise SystemExit("--pre-dedup needs a columnar pages input "
+                             "(parquet/iceberg), not warc")
+        from fastdup_spark.operators.cascade import dedup_cascade
+        raw = (spark.read.format(args.input_format).load(args.input)
+               if args.input_format != "parquet"
+               else spark.read.parquet(args.input))
+        res = dedup_cascade(
+            raw, cfg, id_col="url", text_col="html",
+            url_col="url" if "url" in tiers else None,
+            ts_col="warc_ts" if "url" in tiers else None,
+            run_exact="exact" in tiers, run_near_dup=False)
+        dec_path = f"{args.work_dir}/pre_dedup_decisions"
+        res["decisions"].write.mode("overwrite").parquet(dec_path)
+        pre_dedup = {
+            r["tier"]: r["n_dropped"]
+            for r in res["tier_counts"].collect()}
+        pages = res["survivors"]
+
+    summary = fd.run(pages=pages,
+                     input_path=None if pages is not None else args.input,
+                     force=args.force, input_format=args.input_format)
+    if pre_dedup is not None:
+        summary = dict(summary, pre_dedup_dropped=pre_dedup)
     print(json.dumps(summary))
 
 

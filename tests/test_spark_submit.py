@@ -36,3 +36,49 @@ def test_spark_submit_py_files_job(tmp_path, spark, spark_data):
     # the job really wrote the stage store (markers + sharded tables)
     for stage in ("extracted", "signatures", "similarity", "assignments"):
         assert os.path.exists(os.path.join(work, f"{stage}.marker.json")), stage
+
+
+def test_run_pipeline_pre_dedup_flag(tmp_path, spark, spark_data, monkeypatch):
+    """--pre-dedup url,exact: cheap cascade tiers run before the pipeline,
+    decisions land in the work dir, the pipeline sees only survivors."""
+    import importlib.util
+    import sys
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_mod", os.path.join(REPO, "scripts", "run_pipeline.py"))
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    pages = spark_data[0].limit(120).cache()
+    # refetch noise: 10 pages re-served under a tracking param 30 days
+    # later (url tier keeps the newer fetch, drops the original) and 15
+    # byte-identical mirrors under different urls (exact tier)
+    revisits = (
+        pages.limit(10)
+        .withColumn("url", F.concat("url", F.lit("?utm_source=x")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 30 days")))
+    mirrors = pages.limit(15).withColumn(
+        "url", F.concat(F.lit("https://mirror.example/"), F.md5("url")))
+    inp = str(tmp_path / "pages_with_noise")
+    pages.unionByName(revisits).unionByName(mirrors) \
+        .repartition(4).write.parquet(inp)
+
+    work = str(tmp_path / "pre_dedup_run")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--input", inp, "--work-dir", work,
+        "--pre-dedup", "url,exact"])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rp.main()
+    summary = json.loads(
+        [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert summary["pre_dedup_dropped"] == {"url": 10, "exact": 15}
+    assert summary["total_pages"] == 120  # pipeline ran on survivors only
+    dec = spark.read.parquet(f"{work}/pre_dedup_decisions")
+    assert dec.count() == 25
+    assert set(r["tier"] for r in dec.select("tier").distinct().collect()) \
+        == {"url", "exact"}
