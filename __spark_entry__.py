@@ -1055,6 +1055,122 @@ def q_ann_cosine_ivf(spark, sf, nprobe=3, k=10):
 # registry
 # --------------------------------------------------------------------------
 
+# --- webtext cleaning / decontamination / mixing tier (round 6 late) ------
+
+def _did(c="doc_id"):
+    return F.col(c).cast("string")
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (operators/pii.py — Dolma/RedPajama-style regex scrub):
+    emails/IPv4/phones counted on the original text and replaced in order
+    with digit-free tokens. PII is PLANTED deterministically from doc_id
+    (the corpus is synthetic word salad) with the same expression DuckDB
+    rebuilds, so counts are non-vacuous and clean_text hashes must match."""
+    from fastdup_spark.operators.pii import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(doc % 3 == 0, F.concat(
+            F.lit(" contact user"), _did(), F.lit("@mail.example.com now"))
+        ).otherwise(F.lit("")),
+        F.when(doc % 5 == 0, F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad(F.pmod(doc, F.lit(10000)).cast("string"), 4, "0"))
+        ).otherwise(F.lit("")),
+        F.when(doc % 7 == 0, F.concat(
+            F.lit(" from 10."), F.pmod(doc, F.lit(256)).cast("string"),
+            F.lit(".0."), F.pmod(doc * 7, F.lit(256)).cast("string"),
+            F.lit(" end"))
+        ).otherwise(F.lit("")),
+    )
+    return scrub_pii(d.select("doc_id", dirty.alias("text")))
+
+
+def q_c4_line_filter(spark, sf):
+    """C4 line-level cleaning (operators/cleaning.py — Raffel et al. 2020
+    §2.2): terminal-punctuation + >=5-word lines kept, javascript lines
+    dropped, pages with 'lorem ipsum'/'{' or <3 kept lines flagged dead.
+    Line structure is derived deterministically from the corpus with an
+    expression DuckDB rebuilds verbatim; clean_text hashes must match."""
+    from fastdup_spark.operators.cleaning import c4_clean
+
+    d = _t(spark, sf, "documents")
+    doc = F.col("doc_id")
+    code_line = F.when(doc % 11 == 0, F.lit("var cfg = { mode: 1 };")) \
+        .otherwise(F.lit("All rights reserved by this site today."))
+    tail_line = F.when(doc % 13 == 0, F.lit(
+        "Lorem ipsum dolor sit amet and so forth today.")) \
+        .otherwise(F.concat(F.lit("Final line for doc "), _did(),
+                            F.lit(" is properly terminated!")))
+    dirty = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.lit("Please enable javascript to continue."),
+        F.concat(F.lit("Report "), F.substring(F.col("text"), 1, 90),
+                 F.lit(" end of this section.")),
+        F.lit("Too short."),
+        F.concat(F.substring(F.col("text"), 91, 70),
+                 F.lit(" with no terminal punct")),
+        code_line,
+        tail_line,
+    )
+    return c4_clean(d.select("doc_id", dirty.alias("text")))
+
+
+def q_blocklist_filter(spark, sf):
+    """Word-blocklist audit (operators/cleaning.py — RefinedWeb/C4 bad-words
+    pass): exact whitespace-token membership against a fixed list; two of
+    the words exist in the corpus vocabulary, two never occur."""
+    from fastdup_spark.operators.cleaning import blocklist_flags
+
+    d = _t(spark, sf, "documents")
+    return blocklist_flags(d.select("doc_id", "text"),
+                           ["casino", "customer", "jackpot", "stream"])
+
+
+def q_ngram_decontamination(spark, sf):
+    """GPT-3-style n-gram decontamination (operators/crossset.py — Brown et
+    al. 2020 App. C): a train doc is contaminated if it shares any word
+    8-gram with the eval set. Eval grams are words 3..10 of every 37th doc
+    (a PARTIAL-overlap probe — the exact/near-dup decontamination query
+    cannot catch a single quoted sentence; this one must)."""
+    from fastdup_spark.operators.crossset import ngram_overlap_contamination
+
+    d = _t(spark, sf, "documents")
+    w = _tokens(F.col("text"))
+    ev = (
+        d.filter((F.col("doc_id") % 37 == 0) & (F.size(w) >= 10))
+        .select(F.concat_ws(" ", F.slice(w, 3, 8)).alias("gram"))
+    )
+    return ngram_overlap_contamination(
+        d.select("doc_id", "text"), ev, n=8)
+
+
+def q_lang_quota_sample(spark, sf):
+    """Per-language quota sampling (operators/sampling.py — data-mixing
+    quotas): keep 40 docs per lang ordered by md5(doc_id) so the pick is a
+    reproducible sample, not a head; rk is the in-quota position."""
+    from fastdup_spark.operators.sampling import quota_sample
+
+    d = _t(spark, sf, "documents")
+    return quota_sample(d.select("doc_id", "lang"), "lang", 40,
+                        rank_col="rk")
+
+
+def q_hash_rate_sample(spark, sf):
+    """Stateless hash-rate sampling (operators/sampling.py): keep ~20% of
+    docs iff substr(md5('s1:'||doc_id),1,8) sorts below the rate threshold.
+    Zero shuffle — the 100-TB mixing path (plan pinned shuffle-free in
+    tests/test_sampling.py)."""
+    from fastdup_spark.operators.sampling import hash_rate_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_rate_sample(d.select("doc_id", "lang"), 0.2, salt="s1:")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -1122,6 +1238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
         # IVF ANN: deterministic coarse quantizer -> fully oracle-checked
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        # webtext cleaning / decontamination / mixing tier (round 6 late)
+        "pii_scrub": q_pii_scrub,
+        "c4_line_filter": q_c4_line_filter,
+        "blocklist_filter": q_blocklist_filter,
+        "ngram_decontamination": q_ngram_decontamination,
+        "lang_quota_sample": q_lang_quota_sample,
+        "hash_rate_sample": q_hash_rate_sample,
     }
 
 
@@ -1289,6 +1412,10 @@ _SIMHASH_FP_CTES = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from fastdup_spark.operators.pii import EMAIL_RE as _PII_EMAIL
+    from fastdup_spark.operators.pii import IPV4_RE as _PII_IPV4
+    from fastdup_spark.operators.pii import PHONE_RE as _PII_PHONE
+
     tok = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     ltok = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
     return {
@@ -2415,5 +2542,130 @@ def oracle_sql() -> dict[str, str]:
                      + 0.0 AS cosine
               FROM cand c JOIN ev e USING (vec_id) CROSS JOIN q
             ) ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # replay of operators/pii.scrub_pii: counts on the original text,
+        # redaction in email -> ipv4 -> phone order (RE2 and Java regex
+        # agree on these patterns: no lookaround, no backreferences)
+        "pii_scrub": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                          || doc_id || '@mail.example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+                          || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                          || ' end' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id, text,
+              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+              len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+              len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+            FROM dirty
+        """,
+        # replay of operators/cleaning.c4_clean: the line predicate uses THE
+        # whitespace tokenizer contract; kept lines rejoined with newlines
+        "c4_line_filter": f"""
+            WITH base AS (
+              SELECT doc_id,
+                concat_ws(chr(10),
+                  'Home | About | Contact',
+                  'Please enable javascript to continue.',
+                  'Report ' || substr(text, 1, 90) || ' end of this section.',
+                  'Too short.',
+                  substr(text, 91, 70) || ' with no terminal punct',
+                  CASE WHEN doc_id % 11 = 0 THEN 'var cfg = {{ mode: 1 }};'
+                       ELSE 'All rights reserved by this site today.' END,
+                  CASE WHEN doc_id % 13 = 0
+                       THEN 'Lorem ipsum dolor sit amet and so forth today.'
+                       ELSE 'Final line for doc ' || doc_id
+                            || ' is properly terminated!' END
+                ) AS text
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                list_filter(string_split(text, chr(10)), l ->
+                  len(string_split(trim(regexp_replace(l, '\\s+', ' ', 'g')),
+                      ' ')) >= 5
+                  AND regexp_matches(
+                      trim(regexp_replace(l, '\\s+', ' ', 'g')), '[.!?"]$')
+                  AND NOT contains(
+                      lower(trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+                      'javascript')) AS kept
+              FROM base
+            )
+            SELECT doc_id,
+              len(lines) AS n_lines,
+              len(kept) AS n_kept,
+              (len(kept) >= 3
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, '{{')) AS keep_doc,
+              array_to_string(kept, chr(10)) AS clean_text
+            FROM k
+        """,
+        # replay of operators/cleaning.blocklist_flags: exact token
+        # membership over the lowercased whitespace tokenizer
+        "blocklist_filter": f"""
+            WITH h AS (
+              SELECT doc_id,
+                list_sort(list_intersect(list_distinct({ltok}),
+                  ['casino', 'customer', 'jackpot', 'stream'])) AS hits
+              FROM documents
+            )
+            SELECT doc_id, len(hits) AS n_hits,
+                   -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+                   coalesce(array_to_string(hits, ','), '') AS matched,
+                   len(hits) > 0 AS blocked
+            FROM h
+        """,
+        # replay of operators/crossset.ngram_overlap_contamination: eval
+        # grams = words 3..10 of every 37th doc; train side explodes all
+        # word 8-grams (list_slice over the tokenizer contract)
+        "ngram_decontamination": f"""
+            WITH tt AS (
+              SELECT doc_id, {tok} AS toks FROM documents
+            ),
+            ev AS (
+              SELECT DISTINCT array_to_string(list_slice(toks, 3, 10), ' ')
+                     AS g
+              FROM tt WHERE doc_id % 37 = 0 AND len(toks) >= 10
+            ),
+            tg AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+              FROM tt, UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) u(i)
+            )
+            SELECT t.doc_id, count(DISTINCT t.g) AS n_matched_ngrams
+            FROM tg t JOIN ev ON t.g = ev.g
+            GROUP BY t.doc_id
+        """,
+        # replay of operators/sampling.quota_sample: md5-of-decimal-id
+        # ordering, 40 per lang
+        "lang_quota_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents
+            )
+            SELECT doc_id, lang, rk FROM r WHERE rk <= 40
+        """,
+        # replay of operators/sampling.hash_rate_sample: fixed-width
+        # lowercase hex compares identically in both engines;
+        # threshold = format(int(0.2 * 2**32), '08x')
+        "hash_rate_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('s1:' || doc_id), 1, 8)
+                  < '{format(int(0.2 * 0x1_0000_0000), "08x")}'
         """,
     }

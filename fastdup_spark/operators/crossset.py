@@ -31,6 +31,53 @@ def restrict_cross_set(pairs: DataFrame, tags: DataFrame,
     )
 
 
+def word_ngrams_expr(text, n: int):
+    """All word n-grams of a text column as an array<string> (space-joined),
+    over THE whitespace tokenizer (operators/textql.py:ws_tokens_expr
+    boundary — the cross-engine contract every oracle replays). Docs with
+    fewer than n words contribute an empty array (ANSI-safe guard, same
+    device as the passage chunker)."""
+    w = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ))
+
+
+def ngram_overlap_contamination(train: DataFrame, eval_grams: DataFrame,
+                                n: int = 13, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                gram_col: str = "gram") -> DataFrame:
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 App. C; also
+    PaLM / Llama eval-overlap checks — public knowledge): a training doc
+    is contaminated if it shares ANY word n-gram with the eval set.
+    Complements `restrict_cross_set` (exact/near-dup decontamination) with
+    the PARTIAL-overlap form: a single quoted benchmark sentence inside an
+    otherwise-novel page is caught here and nowhere else.
+
+    ``eval_grams`` is the distinct eval-side n-gram table (one string col
+    ``gram_col``) — tiny relative to the corpus, so the join broadcasts;
+    the train side explodes its n-grams map-side and never shuffles on
+    doc_id. Returns (id_col, n_matched_ngrams) for contaminated docs only.
+
+    At 100-TB scale: explode is a flatMap over the scan; the broadcast
+    semi-join keeps the plan shuffle-free on the corpus side. For eval
+    sets too big to broadcast, hash-partition both sides on gram (the
+    standard fallback; same semantics).
+    """
+    grams = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams_expr(F.col(text_col), n)).alias("__g"),
+    )
+    ev = F.broadcast(eval_grams.select(F.col(gram_col).alias("__g")).distinct())
+    return (
+        grams.join(ev, "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_matched_ngrams"))
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        n_planes: int = 12, n_bands: int = 4, seed: int = 7,
                        id_col: str = "vec_id", vec_col: str = "embedding",
