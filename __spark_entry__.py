@@ -1149,6 +1149,27 @@ def q_ngram_decontamination(spark, sf):
         d.select("doc_id", "text"), ev, n=8)
 
 
+def q_bpe_token_counts(spark, sf):
+    """GPT-2-style pre-tokenizer accounting (operators/textql.py —
+    lookahead-free gpt2 regex, identical in Java regex and RE2):
+    pre-token / non-space-token / distinct-token counts per doc. A
+    contraction + digits + punctuation tail is planted deterministically
+    so the splitter's interesting branches are exercised at every sf."""
+    from fastdup_spark.operators.textql import gpt2_pretokens_expr
+
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" it's doc "), _did(),
+                     F.lit(", ok!"))
+    toks = gpt2_pretokens_expr(dirty)
+    nonspace = F.filter(toks, lambda x: F.trim(x) != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        F.size(nonspace).alias("n_tokens"),
+        F.size(F.array_distinct(nonspace)).alias("n_distinct_tokens"),
+    )
+
+
 def q_lang_quota_sample(spark, sf):
     """Per-language quota sampling (operators/sampling.py — data-mixing
     quotas): keep 40 docs per lang ordered by md5(doc_id) so the pick is a
@@ -1243,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "blocklist_filter": q_blocklist_filter,
         "ngram_decontamination": q_ngram_decontamination,
+        "bpe_token_counts": q_bpe_token_counts,
         "lang_quota_sample": q_lang_quota_sample,
         "hash_rate_sample": q_hash_rate_sample,
     }
@@ -1415,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
     from fastdup_spark.operators.pii import EMAIL_RE as _PII_EMAIL
     from fastdup_spark.operators.pii import IPV4_RE as _PII_IPV4
     from fastdup_spark.operators.pii import PHONE_RE as _PII_PHONE
+    from fastdup_spark.operators.textql import GPT2_PRETOKEN_RE as _GPT2_RE
 
     tok = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     ltok = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
@@ -2647,6 +2670,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, count(DISTINCT t.g) AS n_matched_ngrams
             FROM tg t JOIN ev ON t.g = ev.g
             GROUP BY t.doc_id
+        """,
+        # replay of operators/textql.gpt2_pretokens_expr: the lookahead-free
+        # gpt2 pre-tokenizer regex means the same in RE2 ($$-quoted so the
+        # embedded quote in the contraction branch survives)
+        "bpe_token_counts": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' it''s doc ' || doc_id || ', ok!' AS text
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, $${_GPT2_RE}$$) AS toks
+              FROM d
+            ),
+            f AS (
+              SELECT doc_id, toks,
+                     list_filter(toks, x -> trim(x) <> '') AS nt
+              FROM t
+            )
+            SELECT doc_id,
+                   len(toks) AS n_pretokens,
+                   len(nt) AS n_tokens,
+                   len(list_distinct(nt)) AS n_distinct_tokens
+            FROM f
         """,
         # replay of operators/sampling.quota_sample: md5-of-decimal-id
         # ordering, 40 per lang

@@ -70,6 +70,28 @@ def token_count_bpe_expr(text_col: Column) -> Column:
     return F.size(F.regexp_extract_all(text_col, F.lit(r"[0-9A-Za-zÀ-ɏ一-鿿]+|[^\sA-Za-z0-9]"), 0))
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public gpt2 regex),
+# simplified to stay lookahead-free so Java regex (Spark) and RE2
+# (DuckDB oracle) split identically: contractions, optional-space letter
+# runs, optional-space digit runs, optional-space punct runs, whitespace
+# runs. The real BPE merge table is model-specific; this boundary is the
+# standard corpus-accounting proxy (token counts within ~10% of gpt2).
+GPT2_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def gpt2_pretokens_expr(text_col: Column) -> Column:
+    """All GPT-2-style pre-tokens (including whitespace runs) as an
+    array<string> — map-side regexp_extract_all, no Python."""
+    return F.regexp_extract_all(text_col, F.lit(GPT2_PRETOKEN_RE), F.lit(0))
+
+
+def token_count_gpt2_expr(text_col: Column) -> Column:
+    """GPT-2-style pre-token count EXCLUDING pure-whitespace runs (the
+    number a subword tokenizer would see before merges)."""
+    toks = gpt2_pretokens_expr(text_col)
+    return F.size(F.filter(toks, lambda x: F.trim(x) != ""))
+
+
 def quality_score_expr(text_col: Column) -> Column:
     """Heuristic quality in [0,1]: length band, token diversity, digit/punct
     load (Gopher-rule-style filters folded into one score)."""

@@ -126,3 +126,31 @@ def test_dup_ngram_fraction_exact(spark):
     assert abs(got[1]["dup_frac"] - (1 - 3 / 7)) < 1e-6
     assert got[2]["dup_frac"] == 0.0
     assert got[3] == {"total_ngrams": 0, "distinct_ngrams": 0, "dup_frac": 0.0}
+
+
+# --- GPT-2-style pre-tokenizer (round 6 late) -------------------------------
+
+def test_gpt2_pretokens_golden(spark):
+    from pyspark.sql import functions as F
+
+    from fastdup_spark.operators.textql import (
+        gpt2_pretokens_expr, token_count_gpt2_expr)
+    df = spark.createDataFrame(
+        [("Hello world, it's 2026! foo_bar  baz",)], ["text"])
+    row = df.select(
+        gpt2_pretokens_expr(F.col("text")).alias("toks"),
+        token_count_gpt2_expr(F.col("text")).alias("n"),
+    ).collect()[0]
+    assert row.toks == ["Hello", " world", ",", " it", "'s", " 2026", "!",
+                        " foo", "_", "bar", "  ", "baz"]
+    assert row.n == 11  # whitespace run excluded
+
+
+def test_gpt2_pretokens_empty_and_space(spark):
+    from pyspark.sql import functions as F
+
+    from fastdup_spark.operators.textql import token_count_gpt2_expr
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    ns = [r.n for r in
+          df.select(token_count_gpt2_expr(F.col("text")).alias("n")).collect()]
+    assert ns == [0, 0]
