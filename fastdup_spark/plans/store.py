@@ -265,7 +265,17 @@ class StageStore:
         stage incomplete (-> full recompute on resume), never silently stale.
 
         Requires every row of ``df`` to belong to a shard in ``shard_ids``
-        (callers scope both from the same touched-id set)."""
+        (callers scope both from the same touched-id set).
+
+        Implementation (round 6): the new content is written ONCE to a
+        sibling temp dir while the live table stays readable (``df`` may
+        read the very shards being replaced), then shard dirs are swapped
+        in with driver-side renames. This replaces the previous eager
+        localCheckpoint + present-shards collect + dynamic-overwrite write
+        (three jobs materializing the data twice) with a single Spark job;
+        the ``present`` shard set and the scope-safety check come from the
+        temp dir's parquet footers for free. On Iceberg the same call maps
+        to MERGE INTO / RewriteFiles, where the snapshot swap is native."""
         params = self.shard_params(stage)
         if params is None:
             raise ValueError(f"stage {stage!r} is not sharded — use write_sharded")
@@ -276,39 +286,51 @@ class StageStore:
                 .repartition(F.col(SHARD_COL))
         if sort_within:
             out = out.sortWithinPartitions(SHARD_COL, *sort_within)
-        out = out.localCheckpoint(eager=True)  # pin: df may read the very
-        #                                        shards being overwritten
-        present = {r[0] for r in out.select(SHARD_COL).distinct().collect()}
+
+        tmp = self.table_path(stage) + ".tmp_overwrite"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale temp from a crash
+        out.write.mode("overwrite").format(self.fmt) \
+            .partitionBy(SHARD_COL).save(tmp)
+        tmp_lineage = self._parquet_lineage(tmp)
+        present = {int(x["file"].split("=", 1)[1].split(os.sep, 1)[0])
+                   for x in tmp_lineage
+                   if x["file"].startswith(f"{SHARD_COL}=")}
         if not present <= set(shard_ids):
+            shutil.rmtree(tmp, ignore_errors=True)
             raise ValueError(
                 f"overwrite_shards({stage}): df carries rows for shards "
                 f"{sorted(present - set(shard_ids))} outside the declared "
                 "scope — the write would clobber unscoped partitions")
 
+        # crash contract: the marker disappears BEFORE any table mutation,
+        # so an interruption mid-swap leaves the stage incomplete (-> full
+        # recompute on resume), never silently stale
         if os.path.exists(self.marker_path(stage)):
             os.remove(self.marker_path(stage))
         # a zero-row table sits in the FLAT fallback layout (no _shard
-        # dirs); writing hive dirs next to its schema file would mix
-        # layouts — replace it wholesale (out is already pinned above)
+        # dirs); hive dirs must not mix with its schema file — drop it
         if any(not x["file"].startswith(f"{SHARD_COL}=")
                for x in self._parquet_lineage(self.table_path(stage))):
             shutil.rmtree(self.table_path(stage))
-        # shards whose content disappeared entirely (e.g. every outlier in
-        # the shard was displaced): dynamic overwrite never touches them,
-        # delete their dirs explicitly
-        for s in set(shard_ids) - present:
+        os.makedirs(self.table_path(stage), exist_ok=True)
+        # every listed shard's old content goes (shards whose new content
+        # is empty are deleted, not replaced), then the fresh dirs move in
+        for s in set(shard_ids):
             d = os.path.join(self.table_path(stage), f"{SHARD_COL}={s}")
             if os.path.exists(d):
                 shutil.rmtree(d)
-        if present:
-            (out.write.mode("overwrite").format(self.fmt)
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(SHARD_COL)
-                .save(self.table_path(stage)))
+        for s in present:
+            os.replace(os.path.join(tmp, f"{SHARD_COL}={s}"),
+                       os.path.join(self.table_path(stage),
+                                    f"{SHARD_COL}={s}"))
+        shutil.rmtree(tmp, ignore_errors=True)
         if not self._parquet_lineage(self.table_path(stage)):
             # every shard emptied: keep the table readable with a zero-row
-            # schema file (same fallback as `write` on empty input)
-            out.limit(0).write.mode("overwrite").format(self.fmt) \
+            # schema file (same fallback as `write` on empty input). Built
+            # from an explicit empty frame — df's source shards may no
+            # longer exist on disk at this point.
+            df.sparkSession.createDataFrame([], out.schema) \
+                .write.mode("overwrite").format(self.fmt) \
                 .save(self.table_path(stage))
         return self.refresh_marker(stage, config_hash, counters=counters)
 
