@@ -442,10 +442,7 @@ def incremental_update(fd, new_pages: DataFrame,
         .withColumn("hamming", hamming_expr(F.col("sh_a"), F.col("sh_b")))
         .withColumn("jaccard", exact_jaccard_expr(F.col("g_a"), F.col("g_b")))
         .select("src", "dst", "sig_jaccard", "hamming", "jaccard")
-        .localCheckpoint(eager=True)
     )
-    n_pairs = scored_new.count()
-    _mark("score")
 
     def _append(df: DataFrame, stage: str, partition_by: list[str] | None = None):
         # sharded stage tables (extracted/signatures) keep their bucket
@@ -483,6 +480,44 @@ def incremental_update(fd, new_pages: DataFrame,
         present = _pruned_ids(fd, stage, batch_ids, ids_local=batch_id_list) \
             .join(F.broadcast(new_ids), "doc_id", "left_semi").distinct()
         return df.join(F.broadcast(present), "doc_id", "left_anti")
+
+    def _append_doc_stats():
+        from fastdup_spark.operators.stats import doc_stats as doc_stats_op
+        new_stats = doc_stats_op(new_docs.select("doc_id", "text"),
+                                 id_col="doc_id")
+        _append(_dedup_batch_rows(new_stats, "doc_stats"), "doc_stats")
+
+    # Append ordering IS the crash-repair contract:
+    #   1. `signatures` STRICTLY FIRST — it is the uncommitted-doc sentinel
+    #      (the |signatures| == |valid extracted| footer tripwire): if any
+    #      other table could land rows for a batch doc before its
+    #      signatures row, a crash in that window would read as a clean
+    #      history and skip the idempotency anti-joins.
+    #   2. the mutually-independent appends run from concurrent driver
+    #      threads (the run() pattern); buckets/doc_stats don't depend on
+    #      the pair scores, so they start BEFORE the scoring join and run
+    #      in its shadow (round 6 — the scoring checkpoint is the longest
+    #      serial link in the chain). Safe w.r.t. the score plan: its
+    #      signatures scan snapshotted the table's file index before the
+    #      sentinel append, so appended batch rows are invisible to it.
+    #      Any crash leaves a subset, each independently repairable.
+    #   3. `extracted` STRICTLY LAST — its absence is what makes the
+    #      replay reprocess the batch.
+    from concurrent.futures import ThreadPoolExecutor
+    _append(_dedup_batch_rows(new_sigs, "signatures"), "signatures")
+    # plain executor (no `with`): the buckets/doc_stats futures must span
+    # the scoring checkpoint below; on an exception the executor is
+    # released to GC, whose weakref sentinel stops the idle workers (the
+    # crash contract tolerates whatever append subset landed)
+    pool = ThreadPoolExecutor(max_workers=5)
+    early_futs = [
+        pool.submit(_append, _dedup_batch_rows(new_buckets, "buckets"),
+                    "buckets"),
+        pool.submit(_append_doc_stats),
+    ]
+    scored_new = scored_new.localCheckpoint(eager=True)
+    n_pairs = scored_new.count()
+    _mark("score")
 
     # similarity/containment increments derive from the PERSISTED pairs
     # table (repairs rows a prior crash dropped), scoped to `rel_active`:
@@ -560,37 +595,14 @@ def incremental_update(fd, new_pages: DataFrame,
             F.col("lcs_len") >= cfg.lcs_min_len)
         _append(lcs_new, "containment")
 
-    def _append_doc_stats():
-        from fastdup_spark.operators.stats import doc_stats as doc_stats_op
-        new_stats = doc_stats_op(new_docs.select("doc_id", "text"),
-                                 id_col="doc_id")
-        _append(_dedup_batch_rows(new_stats, "doc_stats"), "doc_stats")
-
-    # Append ordering IS the crash-repair contract:
-    #   1. `signatures` STRICTLY FIRST — it is the uncommitted-doc sentinel
-    #      (the |signatures| == |valid extracted| footer tripwire): if any
-    #      other table could land rows for a batch doc before its
-    #      signatures row, a crash in that window would read as a clean
-    #      history and skip the idempotency anti-joins.
-    #   2. the mutually-independent appends run from concurrent driver
-    #      threads (the run() pattern — Spark interleaves the jobs, so
-    #      fixed per-job overhead overlaps); any crash leaves a subset,
-    #      each independently repairable.
-    #   3. `extracted` STRICTLY LAST — its absence is what makes the
-    #      replay reprocess the batch.
-    _append(_dedup_batch_rows(new_sigs, "signatures"), "signatures")
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [
-            pool.submit(_append, _dedup_batch_rows(new_buckets, "buckets"),
-                        "buckets"),
-            pool.submit(_append_doc_stats),
-            pool.submit(_append, scored_new, "pairs_scored"),
-            pool.submit(_append, sim_new, "similarity"),
-            pool.submit(_append_containment),
-        ]
-        for f in futs:
-            f.result()
+    late_futs = [
+        pool.submit(_append, scored_new, "pairs_scored"),
+        pool.submit(_append, sim_new, "similarity"),
+        pool.submit(_append_containment),
+    ]
+    for f in early_futs + late_futs:
+        f.result()
+    pool.shutdown()
     _mark("appends")
 
     new_extracted = new_docs.select(
