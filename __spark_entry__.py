@@ -1161,7 +1161,9 @@ def q_bpe_token_counts(spark, sf):
     dirty = F.concat(F.col("text"), F.lit(" it's doc "), _did(),
                      F.lit(", ok!"))
     toks = gpt2_pretokens_expr(dirty)
-    nonspace = F.filter(toks, lambda x: F.trim(x) != "")
+    # regex whitespace test (trim strips only spaces; runs can be \t/\n)
+    nonspace = F.filter(toks,
+                        lambda x: F.regexp_replace(x, r"\s+", "") != "")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_pretokens"),
@@ -1437,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
     from fastdup_spark.operators.pii import EMAIL_RE as _PII_EMAIL
     from fastdup_spark.operators.pii import IPV4_RE as _PII_IPV4
     from fastdup_spark.operators.pii import PHONE_RE as _PII_PHONE
+    from fastdup_spark.operators.sampling import hash_rate_threshold
     from fastdup_spark.operators.textql import GPT2_PRETOKEN_RE as _GPT2_RE
 
     tok = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
@@ -2632,7 +2635,8 @@ def oracle_sql() -> dict[str, str]:
               (len(kept) >= 3
                AND NOT contains(lower(text), 'lorem ipsum')
                AND NOT contains(text, '{{')) AS keep_doc,
-              array_to_string(kept, chr(10)) AS clean_text
+              -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+              coalesce(array_to_string(kept, chr(10)), '') AS clean_text
             FROM k
         """,
         # replay of operators/cleaning.blocklist_flags: exact token
@@ -2687,7 +2691,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT doc_id, toks,
-                     list_filter(toks, x -> trim(x) <> '') AS nt
+                     -- regex, not trim(): trim strips only spaces and the
+                     -- pre-tokenizer emits tab/newline runs too
+                     list_filter(toks, x ->
+                       regexp_replace(x, '\\s+', '', 'g') <> '') AS nt
               FROM t
             )
             SELECT doc_id,
@@ -2709,11 +2716,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, rk FROM r WHERE rk <= 40
         """,
         # replay of operators/sampling.hash_rate_sample: fixed-width
-        # lowercase hex compares identically in both engines;
-        # threshold = format(int(0.2 * 2**32), '08x')
+        # lowercase hex compares identically in both engines; the
+        # threshold comes from the operator itself so it can never drift
         "hash_rate_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5('s1:' || doc_id), 1, 8)
-                  < '{format(int(0.2 * 0x1_0000_0000), "08x")}'
+                  < '{hash_rate_threshold(0.2)}'
         """,
     }

@@ -36,9 +36,13 @@ DOC_KILL_BRACE = "{"
 
 
 def c4_keep_line_expr(line: Column, min_words: int = MIN_WORDS) -> Column:
-    """Boolean: C4 keeps this line."""
+    """Boolean: C4 keeps this line. Word counting goes through THE
+    whitespace tokenizer contract (operators/textql.py:ws_tokens_expr);
+    the normalized form is reused for the suffix / substring tests."""
+    from fastdup_spark.operators.textql import ws_tokens_expr
+
     t = F.trim(F.regexp_replace(line, r"\s+", " "))
-    n_words = F.size(F.split(t, " "))
+    n_words = F.size(ws_tokens_expr(line))
     return (
         (n_words >= min_words)
         & t.rlike('[.!?"]$')
@@ -91,8 +95,9 @@ def blocklist_flags(df: DataFrame, words: list[str],
     scale a large list becomes a broadcast join on the exploded token —
     same semantics, documented here rather than auto-switched).
     """
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    from fastdup_spark.operators.textql import ws_tokens_expr
+
+    toks = ws_tokens_expr(F.lower(F.col(text_col)))
     lits = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
     hits = F.array_sort(F.array_intersect(F.array_distinct(toks), lits))
     return df.select(

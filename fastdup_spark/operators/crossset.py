@@ -37,7 +37,9 @@ def word_ngrams_expr(text, n: int):
     boundary — the cross-engine contract every oracle replays). Docs with
     fewer than n words contribute an empty array (ANSI-safe guard, same
     device as the passage chunker)."""
-    w = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    from fastdup_spark.operators.textql import ws_tokens_expr
+
+    w = ws_tokens_expr(text)
     return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(w) - n + 1),

@@ -87,9 +87,12 @@ def gpt2_pretokens_expr(text_col: Column) -> Column:
 
 def token_count_gpt2_expr(text_col: Column) -> Column:
     """GPT-2-style pre-token count EXCLUDING pure-whitespace runs (the
-    number a subword tokenizer would see before merges)."""
+    number a subword tokenizer would see before merges). The whitespace
+    test is regex-based, not trim(): trim strips only spaces, and webtext
+    is full of tab/newline runs."""
     toks = gpt2_pretokens_expr(text_col)
-    return F.size(F.filter(toks, lambda x: F.trim(x) != ""))
+    return F.size(F.filter(
+        toks, lambda x: F.regexp_replace(x, r"\s+", "") != ""))
 
 
 def quality_score_expr(text_col: Column) -> Column:

@@ -89,6 +89,9 @@ class StageStore:
         path = self.table_path(stage)
         if os.path.exists(path):
             shutil.rmtree(path)
+        # a crash mid-overwrite_shards can strand this stage's temp dir;
+        # the full rewrite path is where such a crash heals, so sweep it
+        shutil.rmtree(path + ".tmp_overwrite", ignore_errors=True)
         if os.path.exists(self.marker_path(stage)):
             os.remove(self.marker_path(stage))
         writer = df.write.mode("overwrite").format(self.fmt)

@@ -402,7 +402,16 @@ def incremental_update(fd, new_pages: DataFrame,
     # table per batch. cand is pinned first so the probe join runs once.
     cand = cand.localCheckpoint(eager=True)
     sig_params = store.shard_params("signatures")
-    if sig_params is not None:
+    n_sig_rows = sum(x["rows"] for x in
+                     store._parquet_lineage(store.table_path("signatures")))
+    if n_sig_rows == 0:
+        # zero-row table = the FLAT schema-file fallback. The sentinel
+        # signatures append below REPLACES that file (flat layouts can't
+        # take hive-dir appends), which would invalidate a scan that
+        # snapshotted it — so don't reference the table at all: the only
+        # signature rows that exist are this batch's own.
+        base_sigs = new_sigs.limit(0)
+    elif sig_params is not None:
         cand_eps = cand.select(F.col("src").alias("doc_id")) \
             .unionByName(cand.select(F.col("dst").alias("doc_id")))
         sig_shards = _shards_of(cand_eps, sig_params[1])
@@ -505,104 +514,113 @@ def incremental_update(fd, new_pages: DataFrame,
     #      replay reprocess the batch.
     from concurrent.futures import ThreadPoolExecutor
     _append(_dedup_batch_rows(new_sigs, "signatures"), "signatures")
-    # plain executor (no `with`): the buckets/doc_stats futures must span
-    # the scoring checkpoint below; on an exception the executor is
-    # released to GC, whose weakref sentinel stops the idle workers (the
-    # crash contract tolerates whatever append subset landed)
+    # plain executor (no `with` — the buckets/doc_stats futures must span
+    # the scoring checkpoint below), but the try/finally guarantees
+    # quiescence: no append thread outlives this block even when the
+    # scoring checkpoint or a future raises, so an in-process retry or
+    # heal rebuild can never interleave with a zombie write
     pool = ThreadPoolExecutor(max_workers=5)
-    early_futs = [
-        pool.submit(_append, _dedup_batch_rows(new_buckets, "buckets"),
-                    "buckets"),
-        pool.submit(_append_doc_stats),
-    ]
-    scored_new = scored_new.localCheckpoint(eager=True)
-    n_pairs = scored_new.count()
-    _mark("score")
+    try:
+        early_futs = [
+            pool.submit(_append, _dedup_batch_rows(new_buckets, "buckets"),
+                        "buckets"),
+            pool.submit(_append_doc_stats),
+        ]
+        scored_new = scored_new.localCheckpoint(eager=True)
+        n_pairs = scored_new.count()
+        _mark("score")
 
-    # similarity/containment increments derive from the PERSISTED pairs
-    # table (repairs rows a prior crash dropped), scoped to `rel_active`:
-    # pairs touching this batch's docs, minus pairs touching ghosts
-    # (deferred until the ghost commits). Exact — a committed doc's sim/
-    # containment rows are never missing (those appends precede the
-    # extracted append that commits it), so every repairable pair touches a
-    # doc committing in THIS batch. On a clean history rel_active equals
-    # this batch's own scored increment.
-    if clean_history:
-        # the batch's own scored increment IS the full set of persisted
-        # pairs touching its docs (no crashed history to repair), and the
-        # similarity/containment tables cannot already hold any of them —
-        # zero pair-table reads, zero anti-joins on the clean path
-        rel_active = scored_new
-        n_rel = n_pairs
-        sim_new = rel_active.filter(F.col("jaccard") >= cfg.threshold) \
-            .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
-    else:
-        # persisted pairs touching the batch (repairs a crashed history)
-        # PLUS the batch's own fresh increment — disjoint by construction
-        # (cand anti-joined the already-scored pairs above), together the
-        # full post-append pair set touching this batch's docs
-        scored_all = store.read(spark, "pairs_scored")
-        rel_active = _touching(scored_all, new_ids).unionByName(scored_new)
-        if has_ghosts:
-            rel_active = _no_ghost(rel_active, ghosts)
-        rel_active = rel_active.localCheckpoint(eager=True)
-        n_rel = rel_active.count()
-        sim_new = (
-            rel_active.filter(F.col("jaccard") >= cfg.threshold)
-            .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
-            .join(_touching(store.read(spark, "similarity")
-                            .select("src", "dst"), new_ids),
-                  ["src", "dst"], "left_anti")
-        )
-    if _debug is not None:
-        _debug["sim_new_plan"] = _plan_text(sim_new)
-
-    def _append_containment():
-        if not cfg.lcs_enabled:
-            return
-        from fastdup_spark.functions.lcs import lcs_confirm
-        # LCS only on rel_active's sub-threshold pairs; the containment
-        # anti-join exists only on crash replays (batch-scoped both sides)
-        sub = rel_active.filter(F.col("jaccard") < cfg.threshold) \
-            .select("src", "dst")
-        if not clean_history:
-            sub = sub.join(_touching(store.read(spark, "containment")
-                                     .select("src", "dst"), new_ids),
-                           ["src", "dst"], "left_anti")
-        if _debug is not None:
-            _debug["lcs_sub_plan"] = _plan_text(sub)
-        # text fetch pruned to the shards holding the pairs' endpoints
-        # (plus the batch's own pinned texts) — never the full text column
-        eps = sub.select(F.col("src").alias("doc_id")) \
-            .unionByName(sub.select(F.col("dst").alias("doc_id"))).distinct()
-        params = store.shard_params("extracted")
-        if params is not None:
-            ep_shards = _shards_of(eps, params[1])
-            texts = (store.read(spark, "extracted", keep_shard=True)
-                     .filter(F.col(SHARD_COL).isin(ep_shards))
-                     .filter(F.col("is_valid").cast("boolean"))
-                     .select("doc_id", "text"))
+        # similarity/containment increments derive from the PERSISTED pairs
+        # table (repairs rows a prior crash dropped), scoped to
+        # `rel_active`: pairs touching this batch's docs, minus pairs
+        # touching ghosts (deferred until the ghost commits). Exact — a
+        # committed doc's sim/containment rows are never missing (those
+        # appends precede the extracted append that commits it), so every
+        # repairable pair touches a doc committing in THIS batch. On a
+        # clean history rel_active equals this batch's own scored increment.
+        if clean_history:
+            # the batch's own scored increment IS the full set of persisted
+            # pairs touching its docs (no crashed history to repair), and
+            # the similarity/containment tables cannot already hold any of
+            # them — zero pair-table reads, zero anti-joins on the clean path
+            rel_active = scored_new
+            n_rel = n_pairs
+            sim_new = rel_active.filter(F.col("jaccard") >= cfg.threshold) \
+                .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
         else:
-            texts = fd.docs().select("doc_id", "text")
-        texts = texts.unionByName(new_docs.select("doc_id", "text"))
-        pt = (
-            sub.join(texts.select(F.col("doc_id").alias("src"),
-                                  F.col("text").alias("text_a")), "src")
-               .join(texts.select(F.col("doc_id").alias("dst"),
-                                  F.col("text").alias("text_b")), "dst")
-        )
-        lcs_new = lcs_confirm(pt, cfg.lcs_cap_chars).filter(
-            F.col("lcs_len") >= cfg.lcs_min_len)
-        _append(lcs_new, "containment")
+            # persisted pairs touching the batch (repairs a crashed
+            # history) PLUS the batch's own fresh increment — disjoint by
+            # construction (cand anti-joined the already-scored pairs
+            # above), together the full post-append pair set touching this
+            # batch's docs
+            scored_all = store.read(spark, "pairs_scored")
+            rel_active = _touching(scored_all, new_ids).unionByName(scored_new)
+            if has_ghosts:
+                rel_active = _no_ghost(rel_active, ghosts)
+            rel_active = rel_active.localCheckpoint(eager=True)
+            n_rel = rel_active.count()
+            sim_new = (
+                rel_active.filter(F.col("jaccard") >= cfg.threshold)
+                .select("src", "dst", "jaccard", "sig_jaccard", "hamming")
+                .join(_touching(store.read(spark, "similarity")
+                                .select("src", "dst"), new_ids),
+                      ["src", "dst"], "left_anti")
+            )
+        if _debug is not None:
+            _debug["sim_new_plan"] = _plan_text(sim_new)
 
-    late_futs = [
-        pool.submit(_append, scored_new, "pairs_scored"),
-        pool.submit(_append, sim_new, "similarity"),
-        pool.submit(_append_containment),
-    ]
-    for f in early_futs + late_futs:
-        f.result()
-    pool.shutdown()
+        def _append_containment():
+            if not cfg.lcs_enabled:
+                return
+            from fastdup_spark.functions.lcs import lcs_confirm
+            # LCS only on rel_active's sub-threshold pairs; the containment
+            # anti-join exists only on crash replays (batch-scoped both
+            # sides)
+            sub = rel_active.filter(F.col("jaccard") < cfg.threshold) \
+                .select("src", "dst")
+            if not clean_history:
+                sub = sub.join(_touching(store.read(spark, "containment")
+                                         .select("src", "dst"), new_ids),
+                               ["src", "dst"], "left_anti")
+            if _debug is not None:
+                _debug["lcs_sub_plan"] = _plan_text(sub)
+            # text fetch pruned to the shards holding the pairs' endpoints
+            # (plus the batch's own pinned texts) — never the full text
+            # column
+            eps = sub.select(F.col("src").alias("doc_id")) \
+                .unionByName(sub.select(F.col("dst").alias("doc_id"))) \
+                .distinct()
+            params = store.shard_params("extracted")
+            if params is not None:
+                ep_shards = _shards_of(eps, params[1])
+                texts = (store.read(spark, "extracted", keep_shard=True)
+                         .filter(F.col(SHARD_COL).isin(ep_shards))
+                         .filter(F.col("is_valid").cast("boolean"))
+                         .select("doc_id", "text"))
+            else:
+                texts = fd.docs().select("doc_id", "text")
+            texts = texts.unionByName(new_docs.select("doc_id", "text"))
+            pt = (
+                sub.join(texts.select(F.col("doc_id").alias("src"),
+                                      F.col("text").alias("text_a")), "src")
+                   .join(texts.select(F.col("doc_id").alias("dst"),
+                                      F.col("text").alias("text_b")), "dst")
+            )
+            lcs_new = lcs_confirm(pt, cfg.lcs_cap_chars).filter(
+                F.col("lcs_len") >= cfg.lcs_min_len)
+            _append(lcs_new, "containment")
+
+        late_futs = [
+            pool.submit(_append, scored_new, "pairs_scored"),
+            pool.submit(_append, sim_new, "similarity"),
+            pool.submit(_append_containment),
+        ]
+        for f in early_futs + late_futs:
+            f.result()
+    finally:
+        # waits for running appends, cancels queued ones — by the time any
+        # exception escapes this frame the store is quiescent
+        pool.shutdown(wait=True, cancel_futures=True)
     _mark("appends")
 
     new_extracted = new_docs.select(

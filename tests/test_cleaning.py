@@ -92,3 +92,8 @@ def test_blocklist_plan_is_jvm_only(spark):
     plan = blocklist_flags(df, ["bad"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_all_lines_dropped_gives_empty_clean_text(spark):
+    r = _clean_one(spark, "Home | About\nshort.\nEnable javascript today ok.")
+    assert r.n_kept == 0 and r.clean_text == "" and not r.keep_doc

@@ -154,3 +154,14 @@ def test_gpt2_pretokens_empty_and_space(spark):
     ns = [r.n for r in
           df.select(token_count_gpt2_expr(F.col("text")).alias("n")).collect()]
     assert ns == [0, 0]
+
+
+def test_gpt2_count_excludes_tab_newline_runs(spark):
+    # review finding: trim() strips only spaces — \t/\n runs must not count
+    from pyspark.sql import functions as F
+
+    from fastdup_spark.operators.textql import token_count_gpt2_expr
+    df = spark.createDataFrame([("foo\nbar\t\tbaz",)], ["text"])
+    n = df.select(token_count_gpt2_expr(F.col("text")).alias("n")) \
+        .collect()[0].n
+    assert n == 3
