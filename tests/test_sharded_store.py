@@ -198,3 +198,36 @@ def test_orc_store_format_end_to_end(spark, tmp_path):
         b = {tuple(r[c] for c in cols)
              for r in fd_pq.store.read(spark, stage).collect()}
         assert a == b, f"ORC-store {stage} diverged from parquet store"
+
+
+def test_overwrite_shards_is_one_spark_job(spark, tmp_path):
+    """Round-6 regression pin: the scoped rewrite is ONE write (one data
+    materialization; under AQE the repartition exchange surfaces as its
+    own job, so <= 2 job ids total). Present shards and the scope check
+    come from footers, the swap is driver-side renames. The old shape was
+    a checkpoint pin + a distinct-collect + the overwrite write — >= 4
+    job ids under AQE, the data materialized twice."""
+    from fastdup_spark.plans.store import StageStore
+
+    store = StageStore(str(tmp_path))
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"),
+                                     (F.col("id") * 2).alias("v"))
+    store.write_sharded(df, "tbl", "h1", 8)
+
+    upd = store.read(spark, "tbl", keep_shard=True) \
+        .filter(F.col(SHARD_COL) == 3).drop(SHARD_COL) \
+        .withColumn("v", F.col("v") + 1)
+    sc = spark.sparkContext
+    group = "ow_shards_job_count"
+    sc.setJobGroup(group, group)
+    try:
+        store.overwrite_shards(upd, "tbl", "h1", [3])
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) <= 2, f"expected <= 2 jobs (write + AQE exchange), saw {len(jobs)}"
+
+    got = store.read(spark, "tbl").filter(F.col("doc_id") % 8 == 3) \
+        .select("doc_id", "v").collect()
+    assert all(r.v == r.doc_id * 2 + 1 for r in got) and len(got) == 125
+    assert not os.path.exists(store.table_path("tbl") + ".tmp_overwrite")
