@@ -82,3 +82,45 @@ def test_run_pipeline_pre_dedup_flag(tmp_path, spark, spark_data, monkeypatch):
     assert dec.count() == 25
     assert set(r["tier"] for r in dec.select("tier").distinct().collect()) \
         == {"url", "exact"}
+
+
+def test_clean_corpus_cli(tmp_path, spark, monkeypatch):
+    """scripts/clean_corpus.py: c4 -> pii -> blocklist -> sample, in-process
+    main() like the pre-dedup flag test. The planted corpus exercises every
+    pass: doc 1 survives everything, doc 2 dies at the page-kill, doc 3
+    dies at the blocklist, docs carry PII that must be redacted."""
+    import importlib.util
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_corpus_mod", os.path.join(REPO, "scripts", "clean_corpus.py"))
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    good = ("This is a keeper line with plenty of words here.\n"
+            "Another keeper line that certainly has enough words!\n"
+            "Contact me at bob@example.org for all the details today.")
+    lorem = good + "\nLorem ipsum dolor sit amet filler."
+    blocked = good.replace("Contact", "Casino contact")
+    rows = [(1, good), (2, lorem), (3, blocked)]
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(inp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "clean_corpus.py", "--input", inp, "--output", out,
+        "--passes", "c4,pii,blocklist", "--blocklist", "casino"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cc.main()
+    counts = json.loads(
+        [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert counts["input_docs"] == 3
+    assert counts["after_c4"] == 2          # lorem page killed
+    assert counts["after_blocklist"] == 1   # casino doc dropped
+    assert counts["pii_redactions"] >= 2    # both survivors had an email
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    assert "<EMAIL>" in got[0].text and "bob@example.org" not in got[0].text
