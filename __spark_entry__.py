@@ -748,8 +748,18 @@ def q_dedup_survivors(spark, sf):
 # hash stream (the simhash UDF's exact input) to this parquet, and the
 # oracle recomputes the fingerprints with pure SQL bit arithmetic over it.
 # Driver ordering guarantees the dump exists: each oracle runs right after
-# its own Spark query.
-_SIMHASH_DUMP = "/tmp/fastdup_spark_simhash_dump.parquet"
+# its own Spark query. Dumps live in a per-user 0700 dir (same hazard
+# class the lcs_native cache fixed: fixed world-shared /tmp names invite
+# cross-user EACCES collisions and concurrent-run clobbering).
+def _dump_dir() -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"fdspark-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+_SIMHASH_DUMP = os.path.join(_dump_dir(), "simhash_dump.parquet")
 
 
 def _write_simhash_dump(spark, sf):
@@ -828,7 +838,7 @@ def q_simhash_near_dup(spark, sf):
 # sf0.01 the smallest |dot| is ~9e-5 vs ~1e-15 cross-engine summation
 # noise. Driver ordering guarantees the dump exists (oracle runs right
 # after its own Spark query, same as _SIMHASH_DUMP).
-_LSH_PLANES_DUMP = "/tmp/fastdup_spark_lsh_planes.parquet"
+_LSH_PLANES_DUMP = os.path.join(_dump_dir(), "lsh_planes.parquet")
 _LSH_N_PLANES, _LSH_N_BANDS, _LSH_SEED = 5, 8, 7
 
 
@@ -2360,7 +2370,7 @@ def oracle_sql() -> dict[str, str]:
                      split_part(split_part(split_part(split_part(
                        CASE WHEN position('://' IN url) > 0
                             THEN substring(url, position('://' IN url) + 3)
-                            ELSE '' END,
+                            ELSE NULL END,
                        '/', 1), '?', 1), '#', 1), '@', -1) AS auth
               FROM u
             ),

@@ -158,10 +158,14 @@ def extract_main_text(doc: str) -> list[str]:
     pos = 0
 
     def flush() -> None:
-        nonlocal parts, linked, in_link
+        # NOTE: in_link deliberately survives the flush — an anchor can
+        # legally wrap block tags (card-style links: <a><div>promo</div>
+        # </a>), and resetting it here would zero the link-density signal
+        # for the rest of the anchor, letting nav/promo cards through as
+        # "content" (round-6 review finding)
+        nonlocal parts, linked
         raw = "".join(parts)
         parts = []
-        in_link = False
         raw_len = len(raw.strip())
         ln = linked
         linked = 0

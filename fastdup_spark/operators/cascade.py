@@ -53,11 +53,20 @@ TIER_NEAR_DUP = "near_dup"
 
 def _window_tier(d: DataFrame, key, tier: str, id_col: str,
                  order_cols) -> tuple[DataFrame, DataFrame]:
-    """Keep rank-1 per key; return (survivors, drops(doc_id, tier, kept_by))."""
+    """Keep rank-1 per key; return (survivors, drops(doc_id, tier, kept_by)).
+
+    NULL keys are EXEMPT, not a group: a NULL url / NULL text carries no
+    dedup evidence, and Window.partitionBy would otherwise pool every
+    such row into one partition and "dedup" unrelated docs against each
+    other. NULL-key rows pass through as survivors (a plain run()
+    quarantines them at extraction instead)."""
     w = Window.partitionBy("_key").orderBy(*order_cols, F.asc(id_col))
     ranked = (
         d.withColumn("_key", key)
-        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_rn",
+            F.when(F.col("_key").isNull(), F.lit(1))
+            .otherwise(F.row_number().over(w)))
         .withColumn("_kept", F.first(id_col).over(w))
     )
     drops = (

@@ -94,10 +94,13 @@ def host_expr(url: Column) -> Column:
     with bracketed IPv6 literals kept whole ('[2001:db8::1]:8443' ->
     '[2001:db8::1]', not '[2001'). Pure substring splits, no regex
     capture groups (same DuckDB-replayability discipline as
-    canonical_url_expr); urls without '://' yield ''."""
+    canonical_url_expr); urls without '://' yield NULL — an unknown
+    host, NOT a shared pseudo-host (a '' sentinel would pool every
+    scheme-less/relative url into ONE cap_per_host partition and drop
+    unrelated pages against each other)."""
     rest = F.when(F.instr(url, "://") > 0,
                   F.substring(url, F.instr(url, "://") + 3, F.lit(1 << 30))) \
-        .otherwise(F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
     auth = F.substring_index(
         F.substring_index(
             F.substring_index(F.substring_index(rest, "/", 1), "?", 1),
@@ -128,7 +131,13 @@ def cap_per_host(pages: DataFrame, max_per_host: int,
     order = ([F.desc(ts_col)] if ts_col else []) + tie
     h = pages.withColumn("host", host_expr(F.col(url_col)))
     w = Window.partitionBy("host").orderBy(*order)
-    ranked = h.withColumn("host_rank", F.row_number().over(w))
+    # NULL host = unknown host: EXEMPT from the cap (rank pinned 1), not a
+    # shared pseudo-host — Window.partitionBy would otherwise pool every
+    # scheme-less/malformed url into one partition and cap them together
+    ranked = h.withColumn(
+        "host_rank",
+        F.when(F.col("host").isNull(), F.lit(1))
+        .otherwise(F.row_number().over(w)))
     survivors = ranked.filter(F.col("host_rank") <= max_per_host) \
                       .drop("host_rank")
     keep_cols = [id_col] if id_col else [url_col]
@@ -138,7 +147,8 @@ def cap_per_host(pages: DataFrame, max_per_host: int,
                 F.col("host_rank").cast("long").alias("host_rank"))
     )
     host_stats = (
-        h.groupBy("host").agg(F.count("*").alias("n_docs"))
+        h.filter(F.col("host").isNotNull())
+        .groupBy("host").agg(F.count("*").alias("n_docs"))
         .withColumn("n_kept", F.least(F.col("n_docs"),
                                       F.lit(max_per_host).cast("long")))
     )
@@ -160,8 +170,13 @@ def url_revisit_dedup(pages: DataFrame, url_col: str = "url",
     c = with_canonical_url(pages, url_col)
     w = Window.partitionBy("canonical_url").orderBy(
         F.desc(ts_col), F.asc(url_col))
-    ranked = c.withColumn("_rn", F.row_number().over(w)) \
-              .withColumn("_kept", F.first(url_col).over(w))
+    # NULL url -> NULL canonical key: exempt from dedup (no evidence two
+    # such rows are the same page), same NULL discipline as cap_per_host
+    ranked = c.withColumn(
+        "_rn",
+        F.when(F.col("canonical_url").isNull(), F.lit(1))
+        .otherwise(F.row_number().over(w))) \
+        .withColumn("_kept", F.first(url_col).over(w))
     survivors = ranked.filter(F.col("_rn") == 1).drop("_rn", "_kept")
     drop_list = (
         ranked.filter(F.col("_rn") > 1)
@@ -169,7 +184,8 @@ def url_revisit_dedup(pages: DataFrame, url_col: str = "url",
                 F.col("_kept").alias("kept_url"))
     )
     groups = (
-        c.groupBy("canonical_url").agg(F.count("*").alias("n_fetches"))
+        c.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url").agg(F.count("*").alias("n_fetches"))
         .filter(F.col("n_fetches") >= 2)
     )
     return {"survivors": survivors, "drop_list": drop_list, "groups": groups}

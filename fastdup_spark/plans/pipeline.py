@@ -528,7 +528,10 @@ class FastdupSpark:
                                 F.col("url").alias("url_to")), "dst")
         )
         if not sort:
-            return out
+            # an unordered limit is an arbitrary-N sample, but the caller
+            # asked for a bound — honor it rather than silently returning
+            # every edge (round-6 review finding)
+            return out.limit(limit) if limit is not None else out
         out = out.orderBy(F.desc("jaccard"), "src", "dst")
         return out.limit(limit) if limit is not None else out
 

@@ -100,9 +100,11 @@ def export_review_tasks(fd, path: str, lo: float | None = None,
              .otherwise("review").alias("predicted"),
         ).alias("data"),
     )
+    out = out.localCheckpoint(eager=True)
     out.write.mode("overwrite").json(path)
-    # count from the written files (one cheap scan of the tiny id column)
-    return fd.spark.read.json(path).count()
+    # count the pinned frame — re-reading the written JSON would pay a
+    # schema-inference pass over every text payload just to count rows
+    return out.count()
 
 
 def read_review_results(spark: SparkSession, path: str) -> DataFrame:
@@ -135,7 +137,11 @@ def read_review_results(spark: SparkSession, path: str) -> DataFrame:
             f"unrecognized review-results schema: {sorted(cols)} — expected "
             "either a flat src/dst/verdict JSONL or a Label-Studio "
             "completed-task export (data + annotations)")
-    bad = out.filter(~F.col("verdict").isin(*VERDICTS)
+    # NULL-safe: ~NULL.isin(...) is NULL under three-valued logic and
+    # would slip past the filter — a task with an empty annotations list
+    # must fail validation, not vanish silently
+    bad = out.filter(F.col("verdict").isNull()
+                     | ~F.col("verdict").isin(*VERDICTS)
                      | F.col("src").isNull() | F.col("dst").isNull())
     first_bad = bad.head(1)
     if first_bad:

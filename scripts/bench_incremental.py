@@ -62,7 +62,7 @@ def main() -> None:
     stats = fd.update(batch)
     t_update = round(time.time() - t0, 2)
     after = {s: files_by_shard(fd.store, s) for s in stages}
-    total_shards = fd.config.store_shards
+    total_shards = fd.n_shards  # config.store_shards may be None (auto-scale)
     rewritten = {}
     for s in stages:
         keys = set(before[s]) | set(after[s])

@@ -76,12 +76,20 @@ def main() -> None:
             url_col="url" if "url" in tiers else None,
             ts_col="warc_ts" if "url" in tiers else None,
             run_exact="exact" in tiers, run_near_dup=False)
+        # pin both outputs: unpinned, the decisions write, the tier-count
+        # collect, fd.run's layout count AND its extract scan would each
+        # re-execute the whole cascade (two window shuffles over the raw
+        # input) — 4 passes instead of 2
+        surv = res["survivors"].localCheckpoint(eager=True)
+        dec = res["decisions"].localCheckpoint(eager=True)
         dec_path = f"{args.work_dir}/pre_dedup_decisions"
-        res["decisions"].write.mode("overwrite").parquet(dec_path)
+        dec.write.mode("overwrite").parquet(dec_path)
+        from pyspark.sql import functions as F
         pre_dedup = {
-            r["tier"]: r["n_dropped"]
-            for r in res["tier_counts"].collect()}
-        pages = res["survivors"]
+            r["tier"]: r["n"]
+            for r in dec.groupBy("tier").agg(F.count("*").alias("n"))
+            .collect()}
+        pages = surv
 
     summary = fd.run(pages=pages,
                      input_path=None if pages is not None else args.input,

@@ -111,3 +111,27 @@ def test_ts_tie_breaks_by_min_id(spark):
                         run_near_dup=False)
     dec = {r["doc_id"]: r["kept_by"] for r in res["decisions"].collect()}
     assert dec == {12: 11}
+
+
+def test_null_keys_exempt_from_cheap_tiers(spark):
+    """Round-6 review finding: NULL url / NULL text rows carry no dedup
+    evidence — they must all survive the window tiers, never be deduped
+    against each other."""
+    from fastdup_spark.operators.cascade import dedup_cascade
+    rows = [
+        (1, None, "https://a.com/x", 1),
+        (2, None, "https://a.com/y", 2),   # NULL text: exact tier exempt
+        (3, "same body", None, 3),
+        (4, "same body", None, 4),         # NULL url: url tier exempt
+        (5, "same body", "https://b.com/1", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, ts long")
+    res = dedup_cascade(df, id_col="doc_id", text_col="text",
+                        url_col="url", ts_col="ts", run_near_dup=False)
+    surv = {r.doc_id for r in res["survivors"].collect()}
+    decisions = {r.doc_id: r.tier for r in res["decisions"].collect()}
+    # NULL-text docs both survive; NULL-url docs reach the exact tier
+    # where 3/4/5 share a body -> smallest id (3) survives
+    assert surv == {1, 2, 3}
+    assert decisions == {4: "exact", 5: "exact"}

@@ -188,3 +188,18 @@ def test_content_tags_trusted(tag):
     text, err = one(raw)
     assert err == ""
     assert text == "short no punct"
+
+
+def test_card_link_wrapping_block_is_link_dense():
+    """Anchors legally wrap block tags (card-style links). The open-anchor
+    state must survive the block flush, so the card body counts as linked
+    text and dies on link density (round-6 review finding: flush used to
+    reset in_link and the promo card slipped through as content)."""
+    html = (b'<html><body>'
+            b'<a href="/deal"><div>Buy cheap pills, great deals today.'
+            b'</div></a>'
+            b'<p>Actual prose, clearly long enough to keep around.</p>'
+            b'</body></html>')
+    text, err = one(html)
+    assert err == ""
+    assert text == "Actual prose, clearly long enough to keep around."

@@ -123,7 +123,7 @@ def test_host_expr_golden(spark):
         ("http://host.com/a", "host.com"),
         ("https://host.com", "host.com"),
         ("https://host.com?q=1", "host.com"),
-        ("no-scheme/path", ""),
+        ("no-scheme/path", None),  # unknown host, NOT a '' pseudo-host
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
     got = [r["h"] for r in
@@ -168,3 +168,37 @@ def test_cap_per_host_is_jvm_only(spark):
     for key in ("survivors", "drop_list", "host_stats"):
         plan = res[key]._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_null_and_schemeless_hosts_exempt_from_cap(spark):
+    """Round-6 review finding: '' / NULL pseudo-hosts must not pool
+    unrelated pages into one cap partition. Scheme-less and NULL urls
+    all survive regardless of the cap; known hosts still get capped."""
+    import datetime as dt
+
+    from fastdup_spark.operators.urls import cap_per_host
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(i, f"relative/path/{i}", t0) for i in range(5)]
+    rows += [(10 + i, None, t0) for i in range(3)]
+    rows += [(20 + i, f"https://h.com/{i}", t0) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp")
+    res = cap_per_host(df, 2, id_col="doc_id")
+    surv = {r.doc_id for r in res["survivors"].collect()}
+    assert set(range(5)) <= surv and {10, 11, 12} <= surv
+    assert len([d for d in surv if d >= 20]) == 2
+    assert res["drop_list"].filter("host IS NULL").count() == 0
+    assert res["host_stats"].filter("host IS NULL").count() == 0
+
+
+def test_null_url_exempt_from_revisit_dedup(spark):
+    import datetime as dt
+
+    from fastdup_spark.operators.urls import url_revisit_dedup
+    t0 = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(None, t0), (None, t0), ("https://a.com/x", t0),
+         ("https://a.com/x#frag", t0)],
+        "url string, warc_ts timestamp")
+    res = url_revisit_dedup(df)
+    assert res["survivors"].filter("url IS NULL").count() == 2
+    assert res["drop_list"].count() == 1  # only the #frag revisit
