@@ -956,6 +956,46 @@ class FastdupSpark:
         host = lambda c: F.regexp_extract(c, r"https?://([^/]+)/", 1)  # noqa: E731
         return sim.filter(host(F.col("url_from")) != host(F.col("url_to")))
 
+    def decontaminate(self, eval_texts: DataFrame, n: int = 13,
+                      text_col: str = "text") -> DataFrame:
+        """GPT-3-style n-gram decontamination of THIS corpus against an
+        eval set (Brown et al. 2020 App. C): a doc is contaminated if it
+        shares any word n-gram with any eval text. Complements the
+        exact/near-dup cross-set probe (operators/crossset.py
+        restrict_cross_set) with the partial-overlap form — a single
+        quoted benchmark sentence inside an otherwise-novel page.
+
+        ``eval_texts`` needs one string column ``text_col``. Returns
+        (doc_id, url, n_matched_ngrams) for contaminated docs. The eval
+        n-gram table is exploded map-side and broadcast; the corpus side
+        never shuffles."""
+        from fastdup_spark.operators.crossset import (
+            ngram_overlap_contamination, word_ngrams_expr)
+
+        ev = eval_texts.select(F.explode(
+            word_ngrams_expr(F.col(text_col), n)).alias("gram"))
+        flagged = ngram_overlap_contamination(
+            self.docs().select("doc_id", "text"), ev, n=n)
+        return flagged.join(self.docs().select("doc_id", "url"), "doc_id")
+
+    def scrub_pii(self) -> DataFrame:
+        """PII-redacted view of the corpus (operators/pii.py): per-class
+        counts measured on the stored text plus a redacted clean_text
+        column. Map-side only — composes with write_deduped via
+        ``fd.scrub_pii().join(fd.duplicates(), ...)`` or any export."""
+        from fastdup_spark.operators.pii import scrub_pii as _scrub
+
+        return _scrub(self.docs().select("doc_id", "url", "text"))
+
+    def blocklist(self, words: list[str]) -> DataFrame:
+        """Word-blocklist audit over the corpus (operators/cleaning.py):
+        exact whitespace-token membership, (doc_id, url, n_hits, matched,
+        blocked) per doc."""
+        from fastdup_spark.operators.cleaning import blocklist_flags
+
+        return blocklist_flags(self.docs().select("doc_id", "url", "text"),
+                               words, id_cols=("doc_id", "url"))
+
     def search_many(self, queries: DataFrame, k: int = 10,
                     threshold: float | None = None,
                     id_col: str = "query_id", text_col: str = "text",

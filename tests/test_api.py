@@ -227,3 +227,36 @@ def test_write_deduped_corpus(fd, tmp_path):
     kept_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
     mins = asg.groupBy("component_id").agg(F.min("doc_id").alias("m")).collect()
     assert all(r["m"] in kept_ids for r in mins)
+
+
+def test_decontaminate_api(fd, spark):
+    """fd.decontaminate: a doc quoting an eval sentence is flagged; an
+    unrelated eval text flags nothing extra."""
+    doc = fd.docs().select("doc_id", "text").first()
+    words = doc["text"].split()[:13]
+    assert len(words) == 13, "fixture doc long enough for a 13-gram"
+    ev = spark.createDataFrame(
+        [(" ".join(words),), ("totally unrelated eval sentence here",)],
+        ["text"])
+    out = fd.decontaminate(ev, n=13).collect()
+    ids = {r.doc_id for r in out}
+    assert doc["doc_id"] in ids
+    assert all(r.n_matched_ngrams >= 1 for r in out)
+    assert {"doc_id", "url", "n_matched_ngrams"} <= {c for c in
+                                                     out[0].asDict()}
+
+
+def test_scrub_pii_api(fd):
+    out = fd.scrub_pii()
+    assert {"doc_id", "url", "n_emails", "n_ips", "n_phones", "clean_text"} \
+        <= set(out.columns)
+    # the fixture corpus is synthetic word salad: no PII anywhere
+    assert out.filter("n_emails + n_ips + n_phones > 0").count() == 0
+    assert out.count() == fd.docs().count()
+
+
+def test_blocklist_api(fd):
+    vocab_word = fd.docs().first()["text"].split()[0]
+    out = fd.blocklist([vocab_word, "zzz-never-present"])
+    assert out.filter("blocked").count() > 0
+    assert out.filter("matched like '%zzz%'").count() == 0
