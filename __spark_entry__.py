@@ -1061,6 +1061,23 @@ def q_ann_cosine_ivf(spark, sf, nprobe=3, k=10):
     )
 
 
+def q_semdedup(spark, sf, threshold=0.35):
+    """SemDeDup semantic dedup (operators/semdedup.py — Abbas et al. 2023):
+    the shared deterministic KMeans fit partitions the embedding space,
+    near-dup edges are resolved ONLY within a cluster (cosine rounded to 3
+    BEFORE the threshold in both engines), duplicate groups come from CC
+    (component_id = min vec_id), and exactly one member per group survives —
+    the one FARTHEST from its cluster centroid (distance rounded to 4),
+    ties to the smallest id. Fully oracle-checked: DuckDB replays the
+    unrolled Lloyd trajectory, the within-cluster brute-force cosine edges,
+    a recursive label-flood CC and the same keep-one window."""
+    from fastdup_spark.operators.semdedup import semdedup_decisions
+
+    fit = _kmeans_fit_cached(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    return semdedup_decisions(fit["assignments"], e, threshold)["decisions"]
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1271,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroid_stats": q_kmeans_centroid_stats,
         # IVF ANN: deterministic coarse quantizer -> fully oracle-checked
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        # SemDeDup semantic dedup over the same deterministic fit
+        "semdedup": q_semdedup,
         # webtext cleaning / decontamination / mixing tier (round 6 late)
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
@@ -1398,6 +1417,56 @@ def _ivf_oracle_sql(nprobe: int = 3, kk: int = 10,
           CROSS JOIN q
           WHERE a.vec_id <> 0
         ) ORDER BY cosine DESC, vec_id LIMIT {kk}"""
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35, k: int = 8,
+                         n_iter: int = 2, dim: int = 64) -> str:
+    """SemDeDup replay over the SAME unrolled Lloyd trajectory as the
+    kmeans oracle: within-cluster brute-force cosine edges (rounded to 3
+    BEFORE the threshold, matching operators/semdedup.semdedup_edges),
+    recursive label-flood CC (component_id = min vec_id; singletons keep
+    their own id), then the keep-one window — farthest-from-centroid
+    survives (distance rounded to 4), ties to the smallest id."""
+    base = _kmeans_oracle_sql(k=k, n_iter=n_iter, dim=dim)
+    with_body = base[len("WITH "):base.rindex("SELECT vec_id, cluster")]
+    with_body = with_body.rstrip().rstrip(",")
+    n = n_iter
+    cos = """round(
+        list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1]*p[2]))
+        / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+           * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 3) + 0.0"""
+    return f"""
+        WITH RECURSIVE {with_body},
+        edges AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM asg{n} a
+          JOIN asg{n} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN ev ea ON ea.vec_id = a.vec_id
+          JOIN ev eb ON eb.vec_id = b.vec_id
+          WHERE {cos} >= {threshold}
+        ),
+        sym AS (
+          SELECT src AS u, dst AS v FROM edges
+          UNION ALL
+          SELECT dst AS u, src AS v FROM edges
+        ),
+        reach(u, c) AS (
+          SELECT DISTINCT u, u FROM sym
+          UNION
+          SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+        ),
+        comp0 AS (
+          SELECT u AS vec_id, min(c) AS component_id FROM reach GROUP BY u
+        ),
+        comp AS (
+          SELECT a.vec_id, a.cluster, round(a.d, 4) AS distance,
+                 COALESCE(c.component_id, a.vec_id) AS component_id
+          FROM asg{n} a LEFT JOIN comp0 c USING (vec_id)
+        )
+        SELECT vec_id, cluster, component_id, distance,
+               row_number() OVER (PARTITION BY component_id
+                 ORDER BY distance DESC, vec_id) = 1 AS is_survivor
+        FROM comp"""
 
 
 # Shared CTE set for the simhash oracles: replay the production bit vote
@@ -2282,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY cluster
         """,
         "ann_cosine_ivf": _ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         # replay of operators/urls.canonical_url_expr: fragment drop,
         # scheme/host lowercase, default-port drop, trailing-slash drop,
         # tracking-param drop with order preserved (no regex capture

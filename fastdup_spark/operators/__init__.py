@@ -24,6 +24,9 @@ from fastdup_spark.operators.pagerank import pagerank
 from fastdup_spark.operators.passages import (
     passage_chunks, remove_repeated_passages,
 )
+from fastdup_spark.operators.semdedup import (
+    semdedup, semdedup_decisions, semdedup_edges,
+)
 from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
 from fastdup_spark.operators.stats import doc_stats, summary_stats
 from fastdup_spark.operators.textql import (

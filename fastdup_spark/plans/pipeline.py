@@ -808,18 +808,7 @@ class FastdupSpark:
                 m.get("counters", {}).get(kk) == vv for kk, vv in params.items())
 
         if not (_complete("kmeans_assignments") and _complete("kmeans_centroids")):
-            st = self.store.read(self.spark, "doc_stats")
-            feat_cols = ["n_chars", "n_tokens", "n_lines",
-                         "distinct_token_ratio", "repeated_line_ratio",
-                         "digit_ratio", "punct_ratio", "avg_token_len"]
-            # coalesce: a null metric (e.g. avg_token_len on a token-free
-            # doc) must not null-poison the whole distance computation
-            vecs = st.select(
-                "doc_id",
-                F.array(*[F.coalesce(F.col(c).cast("double"), F.lit(0.0))
-                          for c in feat_cols])
-                .alias("features"))
-            res = kmeans_fit(vecs, k=k, n_iter=n_iter,
+            res = kmeans_fit(self._metric_vectors(), k=k, n_iter=n_iter,
                              id_col="doc_id", vec_col="features")
             self.store.write(res["assignments"], "kmeans_assignments",
                              self._chash, counters=params)
@@ -829,6 +818,54 @@ class FastdupSpark:
             "assignments": self.store.read(self.spark, "kmeans_assignments"),
             "centroids": self.store.read(self.spark, "kmeans_centroids"),
         }
+
+    def _metric_vectors(self) -> DataFrame:
+        """(doc_id, features array<double>) from the doc_stats metrics —
+        the default feature space for fd.kmeans / fd.semdedup."""
+        st = self.store.read(self.spark, "doc_stats")
+        feat_cols = ["n_chars", "n_tokens", "n_lines",
+                     "distinct_token_ratio", "repeated_line_ratio",
+                     "digit_ratio", "punct_ratio", "avg_token_len"]
+        # coalesce: a null metric (e.g. avg_token_len on a token-free
+        # doc) must not null-poison the whole distance computation
+        return st.select(
+            "doc_id",
+            F.array(*[F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+                      for c in feat_cols])
+            .alias("features"))
+
+    def semdedup(self, threshold: float = 0.95, k: int = 8,
+                 n_iter: int = 2, embeddings: DataFrame | None = None,
+                 id_col: str = "doc_id", vec_col: str = "features",
+                 ) -> dict[str, DataFrame]:
+        """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
+        2023) over an embedding table — by default the doc_stats metric
+        vectors, Z-SCORED per dimension: the raw count features are
+        all-positive and scale-dominated, so their cosines are all ~1 and
+        the whole corpus would merge into a handful of groups;
+        standardizing makes cosine discriminative while identical docs
+        still standardize to identical vectors. Pass ``embeddings`` (e.g.
+        an fd.enrich output) for a real model space. Returns
+        {"assignments", "edges", "decisions"}; decisions.is_survivor marks
+        the keep-one-per-duplicate-group choice (farthest from its cluster
+        centroid, ties to the smallest id)."""
+        from fastdup_spark.operators.semdedup import semdedup as _semdedup
+
+        if embeddings is None:
+            vecs = self._metric_vectors()
+            dims = (vecs.select(F.posexplode("features").alias("i", "x"))
+                    .groupBy("i")
+                    .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+                    .collect())
+            ms = {r["i"]: (r["m"], r["s"] if r["s"] else 1.0) for r in dims}
+            z = F.array(*[
+                (F.element_at("features", i + 1) - F.lit(ms[i][0]))
+                / F.lit(ms[i][1])
+                for i in sorted(ms)])
+            embeddings = vecs.select("doc_id", z.alias("features"))
+        return _semdedup(embeddings, k=k, n_iter=n_iter,
+                         threshold=threshold, id_col=id_col,
+                         vec_col=vec_col)
 
     def enrich(self, model_fn=None, output_schema: str | None = None,
                name: str | None = None, force: bool = False) -> DataFrame:

@@ -260,3 +260,22 @@ def test_blocklist_api(fd):
     out = fd.blocklist([vocab_word, "zzz-never-present"])
     assert out.filter("blocked").count() > 0
     assert out.filter("matched like '%zzz%'").count() == 0
+
+
+def test_semdedup_api(fd):
+    """fd.semdedup over the default doc_stats metric vectors: one decision
+    row per doc, exactly one survivor per component, kmeans reused."""
+    res = fd.semdedup(threshold=0.999, k=4, n_iter=2)
+    dec = res["decisions"]
+    assert set(dec.columns) == {"doc_id", "cluster", "component_id",
+                                "distance", "is_survivor"}
+    n_docs = fd.docs().count()
+    assert dec.count() == n_docs
+    bad = (dec.groupBy("component_id")
+           .agg(F.sum(F.col("is_survivor").cast("int")).alias("s"))
+           .filter("s != 1").count())
+    assert bad == 0
+    # edges live within clusters only
+    asg = {r["doc_id"]: r["cluster"] for r in res["assignments"].collect()}
+    for r in res["edges"].limit(50).collect():
+        assert asg[r["src"]] == asg[r["dst"]]

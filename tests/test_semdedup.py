@@ -1,0 +1,90 @@
+"""SemDeDup semantic dedup (operators/semdedup.py — Abbas et al. 2023):
+planted-duplicate semantics, the keep-farthest-from-centroid rule, and the
+scale shape (within-cluster equi-join, never a corpus-wide nested loop).
+The cross-engine contract is pinned by the fully-oracle-checked driver
+query `semdedup` (test_queries_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdup_spark.operators.semdedup import semdedup, semdedup_edges
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two well-separated direction clusters; ids 0/1 are the deterministic
+    kmeans seeds. Cluster A: v0 (distinct direction), v2~v3 near-identical
+    (the dup group). Cluster B: v1 == v4 exactly (a tied dup group)."""
+    rows = [
+        (0, [10.0, 0.0, 1.0]),
+        (1, [0.0, 10.0, 0.0]),
+        (2, [10.0, 0.0, 0.0]),
+        (3, [10.5, 0.0, 0.0]),
+        (4, [0.0, 10.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return semdedup(e, k=2, n_iter=2, threshold=0.999)
+
+
+def test_planted_groups(planted):
+    dec = {r["vec_id"]: r for r in planted["decisions"].collect()}
+    assert len(dec) == 5
+    # dup groups: {2,3} (cosine 1.0, same cluster) and {1,4} (identical)
+    assert dec[2]["component_id"] == 2 and dec[3]["component_id"] == 2
+    assert dec[1]["component_id"] == 1 and dec[4]["component_id"] == 1
+    # v0's cosine to v2/v3 is ~0.995 < 0.999: stays a singleton
+    assert dec[0]["component_id"] == 0 and dec[0]["is_survivor"]
+
+
+def test_keep_rule_farthest_then_min_id(planted):
+    dec = {r["vec_id"]: r for r in planted["decisions"].collect()}
+    # {2,3}: v3 is farther from the cluster-A centroid -> v3 survives
+    assert dec[3]["distance"] > dec[2]["distance"]
+    assert dec[3]["is_survivor"] and not dec[2]["is_survivor"]
+    # {1,4}: identical vectors -> equal distance -> min id survives
+    assert dec[1]["distance"] == dec[4]["distance"]
+    assert dec[1]["is_survivor"] and not dec[4]["is_survivor"]
+
+
+def test_edges_are_within_cluster_only(planted):
+    asg = {r["vec_id"]: r["cluster"]
+           for r in planted["assignments"].collect()}
+    edges = planted["edges"].collect()
+    assert {(r["src"], r["dst"]) for r in edges} == {(2, 3), (1, 4)}
+    for r in edges:
+        assert asg[r["src"]] == asg[r["dst"]] == r["cluster"]
+        assert r["src"] < r["dst"]
+
+
+def test_one_survivor_per_component(spark):
+    res = semdedup(spark.read.parquet(f"{SF}/embeddings.parquet"),
+                   k=8, n_iter=2, threshold=0.35)
+    dec = res["decisions"]
+    assert dec.count() == 500
+    per_comp = dec.groupBy("component_id").agg(
+        F.sum(F.col("is_survivor").cast("int")).alias("n_surv"))
+    assert per_comp.filter(F.col("n_surv") != 1).count() == 0
+    # survivors of multi-member groups really are the farthest members
+    multi = dec.groupBy("component_id").count().filter("count >= 2")
+    assert multi.count() > 0, "threshold too high: no dup groups to test"
+    mx = dec.join(multi.select("component_id"), "component_id") \
+        .groupBy("component_id").agg(F.max("distance").alias("dmax"))
+    surv = dec.filter("is_survivor").join(mx, "component_id")
+    assert surv.filter(F.col("distance") != F.col("dmax")).count() == 0
+
+
+def test_plan_is_cluster_equijoin(spark):
+    """The pair join must shuffle/hash on the cluster key — a corpus-wide
+    nested loop (BroadcastNestedLoopJoin / CartesianProduct) would be the
+    100-TB trap SemDeDup's clustering exists to avoid."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    asg = spark.createDataFrame(
+        [(i, i % 4, 0.0) for i in range(100)],
+        "vec_id long, cluster long, distance double")
+    assigned = asg.join(e.select("vec_id", "embedding"), "vec_id")
+    plan = semdedup_edges(assigned, 0.9)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
