@@ -137,6 +137,59 @@ def extract_image_features(media: DataFrame, dim: int = 64,
     return media.select(id_col, bytes_col).mapInPandas(_run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("content", BinaryType(), True),
+    StructField("error_code", StringType(), True),
+])
+
+
+def _resize_fake(raw: bytes, max_width: int) -> tuple[int, int, bytes]:
+    """Deterministic fake resize: dims from the fake decode scaled to fit
+    max_width (aspect preserved, ceil like cv2), payload = a size-capped
+    byte slice so output bytes shrink the way a real re-encode would."""
+    w, h, _fmt = _decode_image_fake(raw)
+    if w > max_width:
+        h = -(-h * max_width // w)  # ceil division, aspect preserved
+        w = max_width
+    return w, h, raw[: max(8, w * h // 64)]
+
+
+def resize_images(media: DataFrame, max_width: int = 256,
+                  id_col: str = "media_id", bytes_col: str = "content",
+                  deterministic_fake: bool = True,
+                  resizer=None) -> DataFrame:
+    """BINARY -> resized BINARY with typed dims + quarantine semantics —
+    the reference's pre-extraction downscale (ref image.py:308 `my_resize`,
+    aspect-preserving cv2.resize to a max width; bad files quarantined per
+    the decode contract, __init__.py:400-455). ``resizer`` plugs a real
+    body in exactly like ``decoder=``/``feature_fn=``: a callable
+    ``(bytes, max_width) -> (width, height, bytes)`` (e.g. PIL thumbnail +
+    re-encode); ANY exception it raises quarantines the row. The built-in
+    fake keeps the narrow ValueError/NotImplementedError contract."""
+    user_resizer = resizer is not None
+    body = resizer if user_resizer else (
+        _resize_fake if deterministic_fake else _decode_image_real)
+    quarantined = Exception if user_resizer else (ValueError,
+                                                  NotImplementedError)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(raw) if raw is not None else b""
+                try:
+                    w, h, out = body(raw, max_width)
+                    rows.append((mid, w, h, bytes(out), None))
+                except quarantined as e:
+                    rows.append((mid, None, None, None, type(e).__name__))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.select(id_col, bytes_col).mapInPandas(_run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1 << 16,
                   max_frames: int = 8, id_col: str = "media_id",
                   bytes_col: str = "content") -> DataFrame:

@@ -131,3 +131,45 @@ def test_pluggable_decoder_and_features_e2e(spark, media, tmp_path):
     stub = decode_image_meta(media, deterministic_fake=False)
     assert all(r["error_code"] == "NotImplementedError"
                for r in stub.collect())
+
+
+def test_resize_contract_and_quarantine(spark, media):
+    from fastdup_spark.functions.multimodal import resize_images
+
+    out = resize_images(media, max_width=128).cache()
+    ok = out.filter("error_code IS NULL")
+    bad = out.filter("error_code IS NOT NULL")
+    assert ok.count() == 50 and bad.count() == 2
+    assert ok.filter("width > 128").count() == 0
+    # aspect preserved: resized h = ceil(h * 128 / w) of the decoded dims
+    import math
+
+    from fastdup_spark.functions.multimodal import _decode_image_fake
+
+    raw0 = bytes(range(8)) * 2 + bytes([0])  # media_id 0's fixture bytes
+    w, h, _fmt = _decode_image_fake(raw0)
+    r0 = ok.filter("media_id = 0").first()
+    if w > 128:
+        assert r0["width"] == 128 and r0["height"] == math.ceil(h * 128 / w)
+    else:
+        assert (r0["width"], r0["height"]) == (w, h)
+    # resized payload is never larger than the original
+    orig = {r["media_id"]: len(bytes(r["content"]))
+            for r in media.filter("content is not null").collect()}
+    for r in ok.collect():
+        assert len(bytes(r["content"])) <= max(8, orig[r["media_id"]])
+
+
+def test_resize_pluggable_and_exception_quarantine(spark, media):
+    from fastdup_spark.functions.multimodal import resize_images
+
+    def resizer(raw, mw):
+        if len(raw) % 2 == 1:
+            raise OSError("corrupt")  # real codecs raise OSError subclasses
+        return mw, mw, raw[:4]
+
+    out = resize_images(media, max_width=32, resizer=resizer).cache()
+    assert out.filter("error_code = 'OSError'").count() > 0
+    okr = out.filter("error_code IS NULL").first()
+    assert okr["width"] == 32 and okr["height"] == 32
+    assert len(bytes(okr["content"])) <= 4
