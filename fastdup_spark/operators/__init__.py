@@ -25,7 +25,7 @@ from fastdup_spark.operators.passages import (
     passage_chunks, remove_repeated_passages,
 )
 from fastdup_spark.operators.semdedup import (
-    semdedup, semdedup_decisions, semdedup_edges,
+    semdedup, semdedup_decisions, semdedup_edges, split_oversized_clusters,
 )
 from fastdup_spark.operators.simhash_dedup import simhash_blocks, simhash_near_dup
 from fastdup_spark.operators.stats import doc_stats, summary_stats

@@ -40,12 +40,18 @@ same keep-one window).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastdup_spark.functions.similarity import cosine_expr
 from fastdup_spark.operators.cc import connected_components
 from fastdup_spark.operators.kmeans import kmeans_fit
+
+# composite pair-join key for split clusters: cluster * _SUB_BASE + sub.
+# sub < _SUB_BASE always (sub-k is capped below it), so the key is unique.
+_SUB_BASE = 65536
 
 
 def semdedup_edges(assigned: DataFrame, threshold: float,
@@ -80,9 +86,60 @@ def semdedup_edges(assigned: DataFrame, threshold: float,
     )
 
 
+def split_oversized_clusters(assignments: DataFrame, embeddings: DataFrame,
+                             max_cluster_size: int,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Skew guard: re-cluster clusters above ``max_cluster_size`` with a
+    one-level sub-kmeans so no pair-join partition exceeds the bound.
+
+    Returns assignments with the SAME columns but a composite ``cluster``
+    key (orig * 65536 + sub) for split clusters; ``distance`` stays the
+    distance to the TOP-LEVEL centroid (the keep-one rule's reference
+    point is unchanged by the split).
+
+    Why kmeans and not a salt: a salt scatters near-identical vectors
+    across sub-cells (killing recall inside the split cluster); kmeans
+    assigns by distance, so tight duplicate groups co-locate and the only
+    pairs lost are the same boundary-straddling trade the TOP-LEVEL
+    clustering already makes. The one split kmeans can't perform: a
+    megagroup of IDENTICAL vectors (every copy equidistant from every
+    sub-centroid, argmin ties to one label) — that is the exact-dedup
+    tier's job and should run first (operators/cascade.py ordering).
+
+    Driver cost: one kmeans_fit per oversized cluster — bounded by the
+    number of skew pathologies, not by k (at a well-chosen k there are
+    few or none)."""
+    big = {r["cluster"]: r["count"]
+           for r in assignments.groupBy("cluster").count()
+           .filter(F.col("count") > max_cluster_size).collect()}
+    if not big:
+        return assignments
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    out = (assignments.filter(~F.col("cluster").isin(list(big)))
+           .select(id_col, "cluster", "distance"))
+    for cid in sorted(big):
+        kk = min(int(math.ceil(big[cid] / max_cluster_size)), _SUB_BASE - 1)
+        members = assignments.filter(F.col("cluster") == cid) \
+            .select(id_col, "distance")
+        sub = kmeans_fit(vecs.join(members.select(id_col), id_col),
+                         k=kk, n_iter=1, id_col=id_col, vec_col=vec_col)
+        subbed = (members
+                  .join(sub["assignments"]
+                        .select(id_col, F.col("cluster").alias("_sub")),
+                        id_col)
+                  .select(id_col,
+                          (F.lit(int(cid) * _SUB_BASE) + F.col("_sub"))
+                          .alias("cluster"),
+                          "distance"))
+        out = out.unionByName(subbed)
+    return out
+
+
 def semdedup_decisions(assignments: DataFrame, embeddings: DataFrame,
                        threshold: float,
                        id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_cluster_size: int | None = None,
                        ) -> dict[str, DataFrame]:
     """Edges + keep-one decisions from an existing kmeans fit.
 
@@ -90,15 +147,25 @@ def semdedup_decisions(assignments: DataFrame, embeddings: DataFrame,
     euclidean to the final centroid, rounded 4dp). Returns
 
     * ``edges`` — (cluster, src, dst, cosine): within-cluster pairs at or
-      above ``threshold`` (cosine rounded 3dp);
+      above ``threshold`` (cosine rounded 3dp; when ``max_cluster_size``
+      splits a cluster, ``cluster`` here is the composite sub-key);
     * ``decisions`` — (id, cluster, component_id, distance, is_survivor):
-      one row per input vector; ``component_id`` = min id of the duplicate
-      group (own id for singletons); ``is_survivor`` = True for exactly one
-      row per component — the member FARTHEST from its cluster centroid
+      one row per input vector with the ORIGINAL cluster label;
+      ``component_id`` = min id of the duplicate group (own id for
+      singletons); ``is_survivor`` = True for exactly one row per
+      component — the member FARTHEST from its cluster centroid
       (SemDeDup's keep-lowest-centroid-similarity rule), ties to the
       smallest id. Singletons always survive.
+
+    ``max_cluster_size``: skew guard — clusters above this bound are
+    sub-split with :func:`split_oversized_clusters` before the pair join.
     """
-    assigned = assignments.join(
+    key_asg = assignments
+    if max_cluster_size is not None:
+        key_asg = split_oversized_clusters(
+            assignments, embeddings, max_cluster_size,
+            id_col=id_col, vec_col=vec_col)
+    assigned = key_asg.join(
         embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
     edges = semdedup_edges(assigned, threshold,
                            id_col=id_col, vec_col=vec_col)
@@ -121,15 +188,19 @@ def semdedup_decisions(assignments: DataFrame, embeddings: DataFrame,
 def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 2,
              threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
+             max_cluster_size: int | None = None,
              ) -> dict[str, DataFrame]:
     """Cluster -> within-cluster cosine edges -> CC -> keep-one.
 
     Returns {"assignments", "edges", "decisions"} — see
     :func:`semdedup_decisions` for the edge/decision contracts;
     ``assignments`` is the kmeans_fit output the decisions derive from.
+    ``max_cluster_size`` bounds the per-cluster pair join under skew
+    (see :func:`split_oversized_clusters`).
     """
     fit = kmeans_fit(embeddings, k=k, n_iter=n_iter,
                      id_col=id_col, vec_col=vec_col)
     out = semdedup_decisions(fit["assignments"], embeddings, threshold,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             max_cluster_size=max_cluster_size)
     return {"assignments": fit["assignments"], **out}

@@ -837,6 +837,7 @@ class FastdupSpark:
     def semdedup(self, threshold: float = 0.95, k: int = 8,
                  n_iter: int = 2, embeddings: DataFrame | None = None,
                  id_col: str = "doc_id", vec_col: str = "features",
+                 max_cluster_size: int | None = None,
                  ) -> dict[str, DataFrame]:
         """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
         2023) over an embedding table — by default the doc_stats metric
@@ -865,7 +866,8 @@ class FastdupSpark:
             embeddings = vecs.select("doc_id", z.alias("features"))
         return _semdedup(embeddings, k=k, n_iter=n_iter,
                          threshold=threshold, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col,
+                         max_cluster_size=max_cluster_size)
 
     def enrich(self, model_fn=None, output_schema: str | None = None,
                name: str | None = None, force: bool = False) -> DataFrame:

@@ -88,3 +88,78 @@ def test_plan_is_cluster_equijoin(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def two_blobs(spark):
+    """Two well-separated direction blobs forced into ONE top-level cluster
+    (k=1): the skew-guard's worst case. ids 0/1 are the sub-kmeans seeds
+    (one per blob); (2,3) and (21,22) are planted identical pairs; all
+    other within-blob cosines are ~0.995 (below the 0.999 threshold)."""
+    import math as m
+    rows = []
+    for i in range(40):
+        if i == 0:
+            ang = 0.0
+        elif i == 1:
+            ang = m.pi / 2
+        elif i in (2, 3):
+            ang = 0.25
+        elif i in (21, 22):
+            ang = m.pi / 2 + 0.25
+        elif i < 21:
+            ang = 0.1 * (i % 8)
+        else:
+            ang = m.pi / 2 + 0.1 * (i % 8)
+        rows.append((i, [10.0 * m.cos(ang), 10.0 * m.sin(ang)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_skew_guard_preserves_recall(two_blobs):
+    """Splitting the oversized cluster must not lose the planted dup pairs:
+    kmeans sub-cells respect geometry (unlike a salt), so tight groups
+    co-locate and the edge set matches the unsplit run exactly here."""
+    plain = semdedup(two_blobs, k=1, n_iter=1, threshold=0.999)
+    split = semdedup(two_blobs, k=1, n_iter=1, threshold=0.999,
+                     max_cluster_size=25)
+    e_plain = {(r["src"], r["dst"]) for r in plain["edges"].collect()}
+    e_split = {(r["src"], r["dst"]) for r in split["edges"].collect()}
+    assert {(2, 3), (21, 22)} <= e_plain
+    assert e_plain == e_split
+    # decisions still report the ORIGINAL cluster label
+    assert {r["cluster"] for r in split["decisions"].collect()} == {0}
+    surv = split["decisions"].filter("is_survivor").count()
+    comps = split["decisions"].select("component_id").distinct().count()
+    assert surv == comps
+
+
+def test_split_oversized_clusters_separates_blobs(two_blobs):
+    from fastdup_spark.operators.kmeans import kmeans_fit
+    from fastdup_spark.operators.semdedup import split_oversized_clusters
+
+    asg = kmeans_fit(two_blobs, k=1, n_iter=1)["assignments"]
+    out = split_oversized_clusters(asg, two_blobs, max_cluster_size=25)
+    rows = out.collect()
+    keys = {r["cluster"] for r in rows}
+    assert len(keys) == 2  # one composite key per blob
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["cluster"], set()).add(r["vec_id"])
+    blob_a = {i for i in range(40) if i < 21 and i != 1}
+    blob_b = set(range(40)) - blob_a
+    assert {frozenset(v) for v in by_key.values()} == \
+        {frozenset(blob_a), frozenset(blob_b)}
+    # distances are unchanged (still to the TOP-LEVEL centroid)
+    orig = {r["vec_id"]: r["distance"] for r in asg.collect()}
+    assert all(orig[r["vec_id"]] == r["distance"] for r in rows)
+
+
+def test_split_noop_below_bound(two_blobs):
+    from fastdup_spark.operators.kmeans import kmeans_fit
+    from fastdup_spark.operators.semdedup import split_oversized_clusters
+
+    asg = kmeans_fit(two_blobs, k=1, n_iter=1)["assignments"]
+    out = split_oversized_clusters(asg, two_blobs, max_cluster_size=100)
+    a = sorted(map(tuple, asg.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
