@@ -249,6 +249,25 @@ def main() -> None:
             "dropped_by_tier": {r["tier"]: r["count"] for r in dec},
         }
 
+    # SemDeDup economics (operators/semdedup.py): kmeans fit + within-
+    # cluster cosine groups + keep-one over the embeddings table. Separate
+    # block (NOT in the queries total) like the cascade, so the headline
+    # stays comparable round-over-round.
+    semdedup_block = None
+    if os.environ.get("BENCH_SEMDEDUP", "1") != "0":
+        from pyspark.sql import functions as SF_FN
+        t0 = time.time()
+        dec = qs["semdedup"](spark, SF_DIR)
+        agg = dec.agg(
+            SF_FN.count("*").alias("n"),
+            SF_FN.sum((~SF_FN.col("is_survivor")).cast("int")).alias("d")
+        ).first()
+        semdedup_block = {
+            "sec": round(time.time() - t0, 3),
+            "vectors": int(agg["n"]),
+            "dropped": int(agg["d"]),
+        }
+
     spark.stop()
 
     # scaling-efficiency proxy (BASELINE.md): same job, same input, N vs 4N
@@ -290,6 +309,7 @@ def main() -> None:
         "incremental": incremental,
         "incremental_trickle": incremental_trickle,
         "cascade": cascade,
+        "semdedup": semdedup_block,
         "scaling": scaling,
         "kernel_scaling_rows_per_s": kernel,
     }
