@@ -1221,6 +1221,22 @@ def q_hash_rate_sample(spark, sf):
     return hash_rate_sample(d.select("doc_id", "lang"), 0.2, salt="s1:")
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (operators/lm.py — Wenzek et al.
+    2020): a unigram LM with add-one-smoothed UNK is trained on the
+    doc_id % 7 == 0 reference slice (the 'Wikipedia' stand-in), vocab
+    capped at 500 so truncation + the OOV path are exercised at every
+    sf, then every document is scored. Per-token log-probs are integer
+    micro-nats so the per-doc sum is partitioning-independent; only the
+    display ppl re-enters float land (rounded 2dp in both engines)."""
+    from fastdup_spark.operators.lm import score_perplexity, train_unigram_lm
+
+    d = _t(spark, sf, "documents")
+    lm = train_unigram_lm(d.filter(F.col("doc_id") % 7 == 0),
+                          vocab_size=500)
+    return score_perplexity(d.select("doc_id", "text"), lm)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -1298,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "lang_quota_sample": q_lang_quota_sample,
         "hash_rate_sample": q_hash_rate_sample,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2802,5 +2819,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5('s1:' || doc_id), 1, 8)
                   < '{hash_rate_threshold(0.2)}'
+        """,
+        # replay of operators/lm.py train_unigram_lm + score_perplexity:
+        # the canonical ws-tokenizer contract lowercased, top-500 vocab
+        # (count desc, token asc ties), add-one UNK, integer micro-nat
+        # log-probs (exact per-doc sums), ppl rounded 2dp in both engines
+        "lm_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS token
+              FROM documents
+            ),
+            cnts AS (
+              SELECT token, count(*) AS cnt FROM tok
+              WHERE doc_id % 7 = 0 GROUP BY token
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnts),
+            vocab AS (
+              SELECT token, cnt FROM cnts
+              ORDER BY cnt DESC, token ASC LIMIT 500
+            ),
+            lp AS (
+              SELECT v.token,
+                     CAST(round(ln(v.cnt / (t.t + 1)) * 1000000, 0)
+                          AS BIGINT) AS lpm
+              FROM vocab v, tot t
+            ),
+            oov AS (
+              SELECT CAST(round(ln(
+                       (t.t - (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab)
+                        + 1) / (t.t + 1)) * 1000000, 0) AS BIGINT) AS lpm
+              FROM tot t
+            ),
+            per AS (
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     CAST(sum(coalesce(lp.lpm, (SELECT lpm FROM oov)))
+                          AS BIGINT) AS logprob_micro
+              FROM tok LEFT JOIN lp ON tok.token = lp.token
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   coalesce(per.logprob_micro, 0) AS logprob_micro,
+                   CASE WHEN coalesce(per.n_tokens, 0) > 0 THEN
+                     round(exp((-per.logprob_micro) / 1000000.0
+                               / per.n_tokens), 2)
+                   END AS ppl
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
     }

@@ -1035,6 +1035,27 @@ class FastdupSpark:
         return blocklist_flags(self.docs().select("doc_id", "url", "text"),
                                words, id_cols=("doc_id", "url"))
 
+    def perplexity(self, reference: DataFrame | None = None,
+                   vocab_size: int = 65_536,
+                   text_col: str = "text") -> DataFrame:
+        """CCNet-style LM quality scores over the corpus (operators/lm.py
+        — Wenzek et al. 2020): train an add-one-smoothed unigram LM on
+        ``reference`` (a trusted corpus with a ``text_col`` column; when
+        None, on this corpus itself — self-perplexity, the in-distribution
+        baseline) and score every document. Returns (doc_id, url,
+        n_tokens, logprob_micro, ppl); lower ppl = more natural text.
+        Training is one token groupBy + a distributed top-V cut; scoring
+        broadcasts the ≤V-row vocab, so the corpus side shuffles once."""
+        from fastdup_spark.operators.lm import (score_perplexity,
+                                                train_unigram_lm)
+
+        ref = reference if reference is not None \
+            else self.docs().select(F.col("text").alias(text_col))
+        lm = train_unigram_lm(ref, text_col=text_col,
+                              vocab_size=vocab_size)
+        scored = score_perplexity(self.docs().select("doc_id", "text"), lm)
+        return self.docs().select("doc_id", "url").join(scored, "doc_id")
+
     def search_many(self, queries: DataFrame, k: int = 10,
                     threshold: float | None = None,
                     id_col: str = "query_id", text_col: str = "text",
