@@ -1237,6 +1237,38 @@ def q_lm_perplexity(spark, sf):
     return score_perplexity(d.select("doc_id", "text"), lm)
 
 
+# Dolma-style Bloom history dedup (operators/bloom.py): the oracle replays
+# the bitmap's verdict as pure set logic over a dump of the per-doc probe
+# positions (JVM xxhash64 DuckDB can't compute) — maybe_seen iff ALL k
+# positions appear in the inserted-position set. Same driver-ordering
+# guarantee as _SIMHASH_DUMP: the dump is written by the Spark query.
+_BLOOM_DUMP = os.path.join(_dump_dir(), "bloom_positions.parquet")
+
+
+def q_bloom_novelty(spark, sf):
+    """Bloom novelty check against a historical corpus (operators/bloom.py —
+    Dolma-style, Soldaini et al. 2024): the even-doc_id half of documents is
+    compressed ONCE into a broadcast bitmap; every document then probes it
+    map-side (no join, no shuffle of the history). No false negatives by
+    construction — every even doc must flag maybe_seen; odd docs flag only
+    on full k-position collisions at the sized ~1% fpp. Fully deterministic
+    (JVM xxhash64 positions), so DuckDB replays the exact verdict from the
+    position dump."""
+    from fastdup_spark.operators.bloom import (
+        build_bloom, positions_expr, probe_bloom,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    model = build_bloom(hist, "text", fpp=0.01)
+    (d.select(
+        "doc_id",
+        F.explode(positions_expr("text", model.n_bits,
+                                 model.n_hashes)).alias("p"))
+      .write.mode("overwrite").parquet(_BLOOM_DUMP))
+    return probe_bloom(d, model, "text").select("doc_id", "maybe_seen")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -1315,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quota_sample": q_lang_quota_sample,
         "hash_rate_sample": q_hash_rate_sample,
         "lm_perplexity": q_lm_perplexity,
+        # Bloom novelty vs history (round 6 late; operators/bloom.py)
+        "bloom_novelty": q_bloom_novelty,
     }
 
 
@@ -2869,5 +2903,18 @@ def oracle_sql() -> dict[str, str]:
                                / per.n_tokens), 2)
                    END AS ppl
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # Bloom novelty: pure set replay over the dumped probe positions —
+        # maybe_seen iff EVERY one of the doc's k positions was inserted by
+        # the even-doc_id history half (duplicate positions within one doc
+        # are harmless: the LEFT JOIN preserves row-for-row pairing)
+        "bloom_novelty": f"""
+            WITH pos AS (SELECT doc_id, p
+                         FROM read_parquet('{_BLOOM_DUMP}/*.parquet')),
+            ins AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0)
+            SELECT pos.doc_id,
+                   count(*) = count(ins.p) AS maybe_seen
+            FROM pos LEFT JOIN ins ON pos.p = ins.p
+            GROUP BY pos.doc_id
         """,
     }

@@ -1,0 +1,115 @@
+"""Bloom novelty filter (operators/bloom.py — Dolma-style history dedup).
+
+Gold strategy: the bitmap's verdicts are re-derived from the same
+position sets via a pure-Python set replay (no false negatives by law,
+false positives exactly where ALL k positions collide)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdup_spark.operators.bloom import (
+    _BLOCK_BITS,
+    BloomFilterModel,
+    bloom_novel,
+    bloom_params,
+    build_bloom,
+    positions_expr,
+    probe_bloom,
+)
+
+
+def _keys_df(spark, keys, col="text"):
+    return spark.createDataFrame([(i, k) for i, k in enumerate(keys)],
+                                 f"doc_id long, {col} string")
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    return _keys_df(spark, [f"seen doc {i}" for i in range(500)])
+
+
+@pytest.fixture(scope="module")
+def model(history):
+    return build_bloom(history, "text", fpp=0.01)
+
+
+def test_params_textbook_values():
+    m, k = bloom_params(1000, 0.01)
+    assert m == 9586 and k == 7
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_no_false_negatives(spark, history, model):
+    flagged = probe_bloom(history, model)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_fpp_bounded_and_novel_pass(spark, model):
+    novel = _keys_df(spark, [f"new doc {i}" for i in range(1000)])
+    flagged = probe_bloom(novel, model)
+    fp = flagged.filter(F.col("maybe_seen")).count()
+    assert fp / 1000 < 0.05  # sized for 1%
+    survivors = bloom_novel(novel, model)
+    assert survivors.count() == 1000 - fp
+    assert survivors.columns == ["doc_id", "text"]
+
+
+def test_matches_python_set_replay(spark, history, model):
+    """Gold: verdict == 'all k positions in the inserted-position set'."""
+    pos_of = lambda df: df.select(  # noqa: E731
+        "doc_id", positions_expr("text", model.n_bits,
+                                 model.n_hashes).alias("ps"))
+    inserted = {p for r in pos_of(history).collect() for p in r["ps"]}
+    probe_set = _keys_df(
+        spark, [f"seen doc {i}" for i in range(0, 1000, 7)]
+        + [f"other {i}" for i in range(200)])
+    want = {r["doc_id"]: all(p in inserted for p in r["ps"])
+            for r in pos_of(probe_set).collect()}
+    got = {r["doc_id"]: r["maybe_seen"]
+           for r in probe_bloom(probe_set, model).collect()}
+    assert got == want
+
+
+def test_null_keys(spark, model):
+    df = spark.createDataFrame([(1, None), (2, "seen doc 3")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["maybe_seen"]
+            for r in probe_bloom(df, model).collect()}
+    assert rows[1] is None and rows[2] is True
+    # novelty filter: NULL keys pass through (never inserted)
+    assert {r["doc_id"] for r in bloom_novel(df, model).collect()} == {1}
+    # and the builder skips them without error
+    m2 = build_bloom(df, "text", n_bits=1024, n_hashes=3)
+    assert m2.n_set == 3
+
+
+def test_multiblock_assembly_and_determinism(spark, history):
+    """Bitmap identical under different input partitionings, with
+    n_bits spanning multiple assembly blocks plus a ragged tail."""
+    n_bits = 2 * _BLOCK_BITS + 100
+    m1 = build_bloom(history, "text", n_bits=n_bits, n_hashes=4)
+    m8 = build_bloom(history.repartition(8), "text",
+                     n_bits=n_bits, n_hashes=4)
+    assert m1.bits == m8.bits and len(m1.bits) == (n_bits + 7) >> 3
+    assert m1.n_set == m8.n_set > 0
+    flags = probe_bloom(history, m1)
+    assert flags.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_probe_is_map_side(spark, history, model):
+    plan = probe_bloom(history, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_model_is_compact(model):
+    assert isinstance(model, BloomFilterModel)
+    assert len(model.bits) == (model.n_bits + 7) >> 3
+    # 500 keys at 1% fpp: ~4.8k bits = ~600 bytes
+    assert len(model.bits) < 2000
+    assert 0 < model.n_set <= 500 * model.n_hashes
