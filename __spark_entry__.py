@@ -1269,6 +1269,38 @@ def q_bloom_novelty(spark, sf):
     return probe_bloom(d, model, "text").select("doc_id", "maybe_seen")
 
 
+# UniMax mixing (operators/mixing.py): the integer water-fill allocation is
+# pytest-gold-covered; the dump carries (lang, rate_ppm) so DuckDB re-derives
+# the identical 8-hex keep threshold with pure integer arithmetic and
+# replays the md5 filter row-for-row.
+_MIX_DUMP = os.path.join(_dump_dir(), "mix_rates.parquet")
+
+
+def q_unimax_mix(spark, sf):
+    """UniMax data mixing (operators/mixing.py — Chung et al. 2023): the
+    budget (80% of the corpus) spreads as uniformly as possible over
+    languages under a 1-epoch cap, so every low-resource lang saturates
+    (rate_ppm = 1e6, the keep-all sentinel) and the leftover floods into
+    the head lang at a fractional ppm rate. Allocation is driver-side
+    exact integer water-filling over the tiny lang-count table; the
+    application is a broadcast threshold join + shuffle-free md5 filter.
+    DuckDB replays the threshold derivation and the filter from the ppm
+    dump — both CASE branches exercised at every sf."""
+    from fastdup_spark.operators.mixing import (
+        group_sizes, rates_ppm, unimax_allocation,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    sizes = group_sizes(d, "lang")
+    total = (sum(sizes.values()) * 8) // 10
+    ppm = rates_ppm(unimax_allocation(sizes, total), sizes)
+    spark.createDataFrame(sorted(ppm.items()),
+                          "lang string, rate_ppm long") \
+        .coalesce(1).write.mode("overwrite").parquet(_MIX_DUMP)
+    from fastdup_spark.operators.mixing import apply_mix
+    return apply_mix(d, ppm, "lang").select("doc_id", "lang", "rate_ppm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup family
@@ -1349,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         # Bloom novelty vs history (round 6 late; operators/bloom.py)
         "bloom_novelty": q_bloom_novelty,
+        # UniMax language mixing (round 6 late; operators/mixing.py)
+        "unimax_mix": q_unimax_mix,
     }
 
 
@@ -2916,5 +2950,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) = count(ins.p) AS maybe_seen
             FROM pos LEFT JOIN ins ON pos.p = ins.p
             GROUP BY pos.doc_id
+        """,
+        # UniMax mixing: re-derive the 8-hex keep threshold from the
+        # dumped integer ppm (rate_ppm * 2^32 // 1e6 — bit-identical to
+        # operators/mixing.threshold_hex) and replay the md5 filter;
+        # rate 1e6 is the keep-everything sentinel ('g' > any hex char)
+        "unimax_mix": f"""
+            WITH thr AS (
+              SELECT lang, rate_ppm,
+                     CASE WHEN rate_ppm = 1000000 THEN 'g'
+                          ELSE lpad(lower(to_hex(
+                                 (rate_ppm * 4294967296) // 1000000)),
+                               8, '0')
+                     END AS t
+              FROM read_parquet('{_MIX_DUMP}/*.parquet')
+            )
+            SELECT d.doc_id, d.lang, thr.rate_ppm
+            FROM documents d JOIN thr USING (lang)
+            WHERE substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < thr.t
         """,
     }
