@@ -77,6 +77,42 @@ class BloomFilterModel:
     n_set: int           # distinct bits set (load-factor telemetry)
 
 
+def assemble_bitmap(pos_df: DataFrame, n_bits: int) -> tuple[bytes, int]:
+    """Distributed bitset assembly from a single LONG column ``p`` of set
+    positions (duplicates fine — bit OR is idempotent, so no distinct
+    pass is needed; one shuffle keyed on the block). Returns
+    ``(bitmap_bytes, n_set_bits)``. Deterministic under any input
+    partitioning: blocks are disjoint byte ranges by construction."""
+
+    blk = (F.col("p") / _BLOCK_BITS).cast("long").alias("blk")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["blk"].iloc[0])
+        lo = b * _BLOCK_BITS
+        hi = min(lo + _BLOCK_BITS, n_bits)
+        buf = np.zeros((hi - lo + 7) >> 3, dtype=np.uint8)
+        idx = pdf["p"].to_numpy(dtype=np.int64) - lo
+        # bitwise_or.at: several positions can share a byte
+        np.bitwise_or.at(buf, idx >> 3,
+                         np.left_shift(1, (idx & 7)).astype(np.uint8))
+        return pd.DataFrame({"blk": [b], "bits": [buf.tobytes()]})
+
+    rows = (
+        pos_df.select("p", blk)
+        .groupBy("blk")
+        .applyInPandas(_pack, "blk long, bits binary")
+        .collect()
+    )
+    out = bytearray((n_bits + 7) >> 3)
+    n_set = 0
+    for r in rows:
+        lo_byte = r["blk"] * (_BLOCK_BITS >> 3)
+        out[lo_byte:lo_byte + len(r["bits"])] = r["bits"]
+        n_set += int(np.unpackbits(
+            np.frombuffer(r["bits"], dtype=np.uint8)).sum())
+    return bytes(out), n_set
+
+
 def build_bloom(df: DataFrame, key_col: str = "text",
                 n_bits: int | None = None, n_hashes: int | None = None,
                 n_keys_hint: int | None = None,
@@ -98,35 +134,9 @@ def build_bloom(df: DataFrame, key_col: str = "text",
         df.filter(F.col(key_col).isNotNull())
         .select(F.explode(positions_expr(key_col, n_bits, n_hashes))
                 .alias("p"))
-        .distinct()
     )
-    blk = (F.col("p") / _BLOCK_BITS).cast("long").alias("blk")
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["blk"].iloc[0])
-        lo = b * _BLOCK_BITS
-        hi = min(lo + _BLOCK_BITS, n_bits)
-        buf = np.zeros((hi - lo + 7) >> 3, dtype=np.uint8)
-        idx = pdf["p"].to_numpy(dtype=np.int64) - lo
-        # bitwise_or.at: several positions can share a byte
-        np.bitwise_or.at(buf, idx >> 3,
-                         np.left_shift(1, (idx & 7)).astype(np.uint8))
-        return pd.DataFrame({"blk": [b], "bits": [buf.tobytes()]})
-
-    rows = (
-        pos.select("p", blk)
-        .groupBy("blk")
-        .applyInPandas(_pack, "blk long, bits binary")
-        .collect()
-    )
-    out = bytearray((n_bits + 7) >> 3)
-    n_set = 0
-    for r in rows:
-        lo_byte = r["blk"] * (_BLOCK_BITS >> 3)
-        out[lo_byte:lo_byte + len(r["bits"])] = r["bits"]
-        n_set += int(np.unpackbits(
-            np.frombuffer(r["bits"], dtype=np.uint8)).sum())
-    return BloomFilterModel(bits=bytes(out), n_bits=n_bits,
+    bits, n_set = assemble_bitmap(pos, n_bits)
+    return BloomFilterModel(bits=bits, n_bits=n_bits,
                             n_hashes=n_hashes, n_set=n_set)
 
 

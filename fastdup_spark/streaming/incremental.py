@@ -25,8 +25,16 @@ new WARC pages, keyed by a `warc_ts` high-water mark:
 O(batch) scaling (round-5 verdict #2/#3): the doc-keyed base tables
 (`extracted`, `signatures`) share the derived tables' bucket(N, doc_id)
 layout, so every per-batch corpus touch prunes at the file index:
-  * batch membership reads only the batch's shards of the extracted id
-    column (partition-pruned + broadcast-filtered, never shuffled);
+  * batch membership is decided by a persisted Bloom bitmap probed
+    DRIVER-SIDE (streaming/membership.py — zero Spark jobs for an
+    all-new batch, the steady trickle state); only maybe-seen ids
+    (redelivered docs + ~1% false positives) pay the exact confirm: a
+    scan of the extracted id column pruned to THOSE ids' shards. The
+    bitmap is guarded by a lineage fingerprint (any append/heal/rewrite
+    it missed invalidates it) and maintained in the finalize tail; when
+    invalid/absent the pre-bloom path below runs unchanged:
+  * fallback membership reads only the batch's shards of the extracted
+    id column (partition-pruned + broadcast-filtered, never shuffled);
   * crash-replay idempotency scans prune the same way;
   * the LCS text fetch reads only the shards holding the candidate pairs'
     endpoints instead of the full text column.
@@ -234,6 +242,12 @@ def incremental_update(fd, new_pages: DataFrame,
     n_sig_footer = sum(x["rows"] for x in
                        store._parquet_lineage(store.table_path("signatures")))
     clean_history = n_sig_footer == n_valid_footer
+    # (3) membership bloom (streaming/membership.py): valid only when its
+    #     sidecar fingerprint matches the CURRENT pre-append extracted
+    #     lineage — any append/heal/rewrite it missed invalidates it.
+    from fastdup_spark.streaming import membership as _mem
+    mem_bloom = _mem.load_membership_bloom(
+        store, _mem.lineage_fingerprint(lineage))
     _mark("tripwires")
 
     # --- ONE extraction pass, materialized once (round-5 ADVICE: the old
@@ -266,14 +280,42 @@ def incremental_update(fd, new_pages: DataFrame,
         batch_id_list = sorted({r["doc_id"] for r in batch_local})
         batch_ids = spark.createDataFrame(
             [(i,) for i in batch_id_list], "doc_id bigint")
-        membership_scan = _pruned_ids(fd, "extracted", batch_ids,
-                                      _debug, "membership_src_plan",
-                                      ids_local=batch_id_list)
-        already_q = membership_scan.join(F.broadcast(batch_ids), "doc_id",
-                                         "left_semi").distinct()
-        if _debug is not None:
-            _debug["membership_plan"] = _plan_text(already_q)
-        already_set = {r["doc_id"] for r in already_q.collect()}
+        if mem_bloom is not None:
+            # BLOOM fast path: probe the persisted bitmap driver-side —
+            # zero Spark jobs, zero table reads. Only the maybe-seen
+            # subset (every redelivered doc + ~fpp false positives) pays
+            # the exact shard-pruned confirm scan; an all-new batch (the
+            # steady trickle state) skips the extracted read entirely.
+            flagged = [i for i, s in zip(
+                batch_id_list, mem_bloom.probe(batch_id_list)) if s]
+            if flagged:
+                flagged_df = spark.createDataFrame(
+                    [(i,) for i in flagged], "doc_id bigint")
+                already_q = _pruned_ids(fd, "extracted", flagged_df,
+                                        _debug, "membership_src_plan",
+                                        ids_local=flagged) \
+                    .join(F.broadcast(flagged_df), "doc_id",
+                          "left_semi").distinct()
+                if _debug is not None:
+                    _debug["membership_plan"] = _plan_text(already_q)
+                already_set = {r["doc_id"] for r in already_q.collect()}
+            else:
+                already_set = set()
+                if _debug is not None:
+                    _debug["membership_plan"] = \
+                        "bloom: zero flagged ids — no scan"
+            if _debug is not None:
+                _debug["bloom_flagged"] = len(flagged)
+        else:
+            membership_scan = _pruned_ids(fd, "extracted", batch_ids,
+                                          _debug, "membership_src_plan",
+                                          ids_local=batch_id_list)
+            already_q = membership_scan.join(F.broadcast(batch_ids),
+                                             "doc_id",
+                                             "left_semi").distinct()
+            if _debug is not None:
+                _debug["membership_plan"] = _plan_text(already_q)
+            already_set = {r["doc_id"] for r in already_q.collect()}
         if already_set:
             already = spark.createDataFrame(
                 [(i,) for i in sorted(already_set)], "doc_id bigint")
@@ -287,7 +329,7 @@ def incremental_update(fd, new_pages: DataFrame,
         new_ids_local = sorted({r["doc_id"] for r in batch_local
                                 if r["is_valid"]
                                 and r["doc_id"] not in already_set})
-        membership = "broadcast"
+        membership = "bloom" if mem_bloom is not None else "broadcast"
     else:
         batch_ids = ext.select("doc_id").distinct()
         batch_id_list = new_ids_local = None
@@ -321,6 +363,12 @@ def incremental_update(fd, new_pages: DataFrame,
             F.count(F.when(F.col("is_valid"), 1)).alias("ok"),
             F.count(F.when(~F.col("is_valid"), 1)).alias("bad")).collect()[0]
         n_new, n_new_bad = int(crow["ok"]), int(crow["bad"])
+        committed_ids = None  # bulk path: bitmap can't be maintained
+    else:
+        # every id this batch commits to `extracted` (valid AND
+        # quarantined) — the finalize tail inserts them into the
+        # membership bitmap
+        committed_ids = sorted(set(batch_id_list) - already_set)
     _mark("membership")
     if n_new == 0 and n_new_bad == 0:
         # fully-redelivered batch. If a prior run crashed AFTER the extracted
@@ -330,7 +378,9 @@ def incremental_update(fd, new_pages: DataFrame,
         if marker_stale:
             _LOG.info("incremental: stale extracted marker on a fully-"
                       "redelivered batch — healing with a full rebuild")
-            touched = _finalize_bookkeeping(fd, n_appended_pairs=0)
+            touched = _finalize_bookkeeping(fd, n_appended_pairs=0,
+                                            mem_bloom=mem_bloom,
+                                            committed_ids_local=committed_ids)
         return {"new_docs": 0, "new_pairs": 0, "touched_docs": touched,
                 "path": "heal_rebuild" if marker_stale else "noop",
                 "hwm": str(hwm)}
@@ -680,6 +730,8 @@ def incremental_update(fd, new_pages: DataFrame,
                                     n_edges_hint=int(n_rel),
                                     affected_local=affected_local,
                                     new_ids_local=new_ids_local,
+                                    mem_bloom=mem_bloom,
+                                    committed_ids_local=committed_ids,
                                     _timings=_timings, _t0=_t0)
     _mark("finalize")
 
@@ -795,6 +847,8 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
                           n_edges_hint: int | None = None,
                           affected_local: list | None = None,
                           new_ids_local: list | None = None,
+                          mem_bloom=None,
+                          committed_ids_local: list | None = None,
                           _timings: dict | None = None,
                           _t0: float | None = None) -> int:
     """Post-append bookkeeping: counts, markers, derived tables, manifest.
@@ -1157,6 +1211,16 @@ def _finalize_bookkeeping(fd, n_appended_pairs: int = 0,
     store.write_json({"config": cfg.to_dict(), "config_hash": fd._chash,
                       "summary": summ}, "run_manifest")
     _mark("fin_manifest")
+
+    # membership bitmap upkeep (streaming/membership.py): insert this
+    # batch's committed ids (pure driver work), or rebuild/drop. The
+    # `lineage` read at finalize start is post-append — exactly the
+    # state the next batch's loader will fingerprint. Either side of the
+    # marker refresh is crash-safe (fingerprint/tripwire guards).
+    from fastdup_spark.streaming import membership as _mem
+    _mem.maintain_membership_bloom(fd, mem_bloom, committed_ids_local,
+                                   lineage)
+    _mark("fin_bloom")
 
     # LAST: the heal tripwire (see docstring)
     store.refresh_marker("extracted", fd._chash)
