@@ -1269,6 +1269,44 @@ def q_bloom_novelty(spark, sf):
     return probe_bloom(d, model, "text").select("doc_id", "maybe_seen")
 
 
+_BLOOM_PARA_DUMP = os.path.join(_dump_dir(), "bloom_para_positions.parquet")
+
+
+def q_bloom_paragraph_scrub(spark, sf):
+    """Dolma paragraph-mode history dedup (operators/bloom.py
+    paragraph_bloom_scrub): documents are rebuilt as three paragraphs (a
+    boilerplate header shared by every doc, an 80-char body slice, a
+    per-doc unique tail); the even-doc_id half is the history. The scrub
+    must drop the boilerplate paragraph EVERYWHERE and redeliver even
+    docs as empty rewrites, while odd docs keep their unique paragraphs
+    (minus ~fpp collateral and cross-doc duplicate body slices — both
+    deterministic). DuckDB rebuilds the same dirty text, splits it, joins
+    the per-paragraph verdict replayed from the position dump, and
+    reassembles with an ordered string_agg."""
+    from fastdup_spark.operators.bloom import (
+        _paragraphs, build_paragraph_bloom, paragraph_bloom_scrub,
+        positions_expr,
+    )
+
+    d = _t(spark, sf, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter for updates"),
+            F.substring(F.col("text"), 1, 80),
+            F.concat(F.lit("unique tail for document "), _did()),
+        ).alias("text"))
+    hist = dirty.filter(F.col("doc_id") % 2 == 0)
+    model = build_paragraph_bloom(hist, fpp=0.01)
+    (_paragraphs(dirty, "text", "doc_id", "\n")
+     .select("doc_id", "pos",
+             F.explode(positions_expr("para", model.n_bits,
+                                      model.n_hashes)).alias("p"))
+     .write.mode("overwrite").parquet(_BLOOM_PARA_DUMP))
+    return paragraph_bloom_scrub(dirty, model)
+
+
 # UniMax mixing (operators/mixing.py): the integer water-fill allocation is
 # pytest-gold-covered; the dump carries (lang, rate_ppm) so DuckDB re-derives
 # the identical 8-hex keep threshold with pure integer arithmetic and
@@ -1381,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         # Bloom novelty vs history (round 6 late; operators/bloom.py)
         "bloom_novelty": q_bloom_novelty,
+        # Dolma paragraph-mode bloom scrub (round 6 late)
+        "bloom_paragraph_scrub": q_bloom_paragraph_scrub,
         # UniMax language mixing (round 6 late; operators/mixing.py)
         "unimax_mix": q_unimax_mix,
     }
@@ -2950,6 +2990,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) = count(ins.p) AS maybe_seen
             FROM pos LEFT JOIN ins ON pos.p = ins.p
             GROUP BY pos.doc_id
+        """,
+        # Dolma paragraph-mode scrub: rebuild the dirty text, split it the
+        # same way, replay each paragraph's verdict from the position dump
+        # (seen iff ALL k positions were inserted by the even-doc_id
+        # history), and reassemble with an ordered string_agg
+        "bloom_paragraph_scrub": f"""
+            WITH pos AS (SELECT doc_id, pos, p
+                         FROM read_parquet('{_BLOOM_PARA_DUMP}/*.parquet')),
+            ins AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+            verdict AS (
+              SELECT pos.doc_id, pos.pos,
+                     count(*) = count(ins.p) AS seen
+              FROM pos LEFT JOIN ins ON pos.p = ins.p
+              GROUP BY pos.doc_id, pos.pos
+            ),
+            split AS (
+              SELECT doc_id,
+                     string_split(
+                       'subscribe to our newsletter for updates'
+                       || chr(10) || substring(text, 1, 80) || chr(10)
+                       || 'unique tail for document '
+                       || CAST(doc_id AS VARCHAR),
+                       chr(10)) AS l
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id, i AS pos, l[i + 1] AS para
+              FROM (SELECT doc_id, l,
+                           unnest(range(0, len(l))) AS i FROM split)
+              WHERE trim(l[i + 1]) <> ''
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN NOT v.seen THEN p.para END,
+                       chr(10) ORDER BY p.pos), '') AS clean_text,
+                   count(p.pos) AS n_paras,
+                   count(CASE WHEN v.seen THEN 1 END) AS n_dropped
+            FROM documents d
+            LEFT JOIN paras p ON p.doc_id = d.doc_id
+            LEFT JOIN verdict v ON v.doc_id = p.doc_id AND v.pos = p.pos
+            GROUP BY d.doc_id
         """,
         # UniMax mixing: re-derive the 8-hex keep threshold from the
         # dumped integer ppm (rate_ppm * 2^32 // 1e6 — bit-identical to

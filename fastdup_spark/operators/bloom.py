@@ -176,3 +176,68 @@ def bloom_novel(df: DataFrame, model: BloomFilterModel,
     flagged = probe_bloom(df, model, key_col)
     return flagged.filter(~F.coalesce(F.col("maybe_seen"), F.lit(False))) \
                   .drop("maybe_seen")
+
+
+def _paragraphs(df: DataFrame, text_col: str, id_col: str,
+                sep: str) -> DataFrame:
+    """(id, pos, para) — empty/whitespace-only paragraphs dropped (blank
+    lines between paragraphs must not become bloom keys)."""
+    return (
+        df.select(id_col,
+                  F.posexplode(F.split(F.col(text_col), sep))
+                  .alias("pos", "para"))
+        .filter(F.trim(F.col("para")) != "")
+    )
+
+
+def build_paragraph_bloom(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", sep: str = "\n",
+                          n_bits: int | None = None,
+                          n_hashes: int | None = None,
+                          n_keys_hint: int | None = None,
+                          fpp: float = 0.01) -> BloomFilterModel:
+    """Bloom bitmap over a history's PARAGRAPHS (Dolma's dedupe tool runs
+    at exactly this granularity: boilerplate paragraphs repeat across the
+    whole web and survive document-level dedup)."""
+    return build_bloom(_paragraphs(df, text_col, id_col, sep), "para",
+                       n_bits=n_bits, n_hashes=n_hashes,
+                       n_keys_hint=n_keys_hint, fpp=fpp)
+
+
+def paragraph_bloom_scrub(df: DataFrame, model: BloomFilterModel,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          sep: str = "\n") -> DataFrame:
+    """REWRITE each document with history-seen paragraphs removed — the
+    corpus-rewriting form of :func:`bloom_novel` (Dolma paragraph mode).
+
+    One paragraph explode (map-side), one map-side bitmap probe, ONE
+    shuffle on the doc id for ordered reassembly; the history itself is
+    never joined. A paragraph inserted into the history is ALWAYS
+    dropped (no false negatives); ~fpp of genuinely-novel paragraphs are
+    collateral (the standard trade). Documents whose every paragraph was
+    seen survive with ``clean_text = ''``. Returns (id, clean_text,
+    n_paras, n_dropped)."""
+    paras = _paragraphs(df, text_col, id_col, sep)
+    flagged = probe_bloom(paras, model, key_col="para", flag_col="seen")
+    per_doc = (
+        flagged.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("seen"),
+                               F.struct("pos", "para")))),
+                    lambda s: s["para"]),
+                sep).alias("clean_text"),
+            F.count("*").alias("n_paras"),
+            F.count(F.when(F.col("seen"), 1)).alias("n_dropped"),
+        )
+    )
+    # docs with no non-blank paragraphs at all still come back (empty)
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"))
+    )

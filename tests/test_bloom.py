@@ -113,3 +113,49 @@ def test_model_is_compact(model):
     # 500 keys at 1% fpp: ~4.8k bits = ~600 bytes
     assert len(model.bits) < 2000
     assert 0 < model.n_set <= 500 * model.n_hashes
+
+
+def test_paragraph_scrub_drops_history_paragraphs(spark):
+    from fastdup_spark.operators.bloom import (
+        build_paragraph_bloom, paragraph_bloom_scrub,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    hist = spark.createDataFrame(
+        [(i, f"old article {i}\n{boiler}\nmore old text {i}")
+         for i in range(50)],
+        "doc_id long, text string")
+    model = build_paragraph_bloom(hist, fpp=0.001)
+
+    batch = spark.createDataFrame(
+        [(100, f"fresh paragraph one\n{boiler}\nfresh paragraph two"),
+         (101, boiler),                       # all paragraphs seen
+         (102, "entirely new text here"),
+         (103, f"old article 7\n\n  \nnew tail paragraph")],  # blanks + reuse
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_bloom_scrub(batch, model).collect()}
+
+    # the boilerplate paragraph is gone EVERYWHERE, order preserved
+    assert out[100]["clean_text"] == \
+        "fresh paragraph one\nfresh paragraph two"
+    assert out[100]["n_paras"] == 3 and out[100]["n_dropped"] == 1
+    # fully-seen doc survives as an empty rewrite
+    assert out[101]["clean_text"] == "" and out[101]["n_dropped"] == 1
+    # untouched novel doc is byte-identical
+    assert out[102]["clean_text"] == "entirely new text here"
+    assert out[102]["n_dropped"] == 0
+    # blank lines are not keys; the history-seen paragraph drops
+    assert out[103]["clean_text"] == "new tail paragraph"
+    assert out[103]["n_paras"] == 2 and out[103]["n_dropped"] == 1
+
+
+def test_paragraph_scrub_no_false_negatives(spark, history):
+    """Every paragraph of the history, redelivered, must drop."""
+    from fastdup_spark.operators.bloom import (
+        build_paragraph_bloom, paragraph_bloom_scrub,
+    )
+    model = build_paragraph_bloom(history)
+    out = paragraph_bloom_scrub(history, model)
+    assert out.filter(F.col("clean_text") != "").count() == 0
+    assert out.count() == history.count()
