@@ -208,6 +208,65 @@ def q_passage_removal(spark, sf):
     return remove_repeated_passages(d)
 
 
+_LINE_BANNER = "subscribe to our newsletter today for updates"
+_LINE_FOOTER = "copyright acme corp all rights reserved worldwide"
+
+
+def _docs_with_lines(spark, sf, k=8):
+    """documents re-lined for line-granularity operators: the whitespace
+    tokens regrouped into k-word lines (the sub-k tail becomes the final
+    line), a boilerplate banner prepended when doc_id%3==0 and a footer
+    appended when doc_id%5==0 — so cross-doc duplicated lines exist at
+    every sf. The DuckDB oracle derives the SAME line lists independently
+    (list_transform over the shared ws-token contract)."""
+    from fastdup_spark.operators.textql import ws_tokens_expr
+
+    d = _t(spark, sf, "documents")
+    w = ws_tokens_expr(F.col("text"))
+    n_full = (F.size(w) / k).cast("int")
+    empty = F.array().cast("array<string>")
+    # guard: sequence(1, 0) DESCENDS in Spark — short docs get no chunks
+    chunks = F.when(n_full < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_full),
+            lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * k + 1, k))))
+    tail = F.when(
+        F.size(w) > n_full * k,
+        F.array(F.concat_ws(" ", F.slice(w, n_full * k + 1,
+                                         F.size(w) - n_full * k)))
+    ).otherwise(empty)
+    banner = F.when(F.col("doc_id") % 3 == 0,
+                    F.array(F.lit(_LINE_BANNER))).otherwise(empty)
+    footer = F.when(F.col("doc_id") % 5 == 0,
+                    F.array(F.lit(_LINE_FOOTER))).otherwise(empty)
+    lines = F.concat(banner, chunks, tail, footer)
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_line_dedup(spark, sf):
+    """RefinedWeb/FineWeb line-level dedup (operators/lines.py): lines
+    duplicated across >=2 docs dropped from EVERY doc, docs losing >30%
+    of their chars killed (integer-exact threshold). Pure built-in
+    expressions; DuckDB replays line derivation, the duplicated-key set,
+    ordered reassembly and the char accounting verbatim."""
+    from fastdup_spark.operators.lines import remove_duplicated_lines
+
+    return remove_duplicated_lines(_docs_with_lines(spark, sf))
+
+
+def q_training_shards(spark, sf):
+    """Deterministic training-shard shuffle (operators/shards.py): the
+    pipeline's output stage — shard = top-60-bits of md5(salt:id) mod N,
+    pos = rank within shard by (key, id). One hash shuffle + per-shard
+    sort (no global sort); DuckDB replays assignment AND order via
+    CAST('0x'||substr(md5,1,15) AS BIGINT)."""
+    from fastdup_spark.operators.shards import assign_training_shards
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return assign_training_shards(d, 16, salt="r6") \
+        .select("doc_id", "shard", "pos")
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -1423,6 +1482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_paragraph_scrub": q_bloom_paragraph_scrub,
         # UniMax language mixing (round 6 late; operators/mixing.py)
         "unimax_mix": q_unimax_mix,
+        # line-level dedup + training-shard shuffle (round 6 continuation)
+        "line_dedup": q_line_dedup,
+        "training_shards": q_training_shards,
     }
 
 
@@ -3050,5 +3112,80 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr USING (lang)
             WHERE substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                   < thr.t
+        """,
+        # independent line derivation (list ops, no chr(10) split), then
+        # the full dedup replay: dup-key set, ordered string_agg
+        # reassembly, integer-exact char accounting and the 30% kill rule
+        "line_dedup": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS w FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     list_concat(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ['{_LINE_BANNER}'] ELSE [] END,
+                     list_concat(
+                       list_transform(range(1, len(w) // 8 + 1),
+                         i -> array_to_string(w[(i-1)*8+1 : i*8], ' ')),
+                     list_concat(
+                       CASE WHEN len(w) > (len(w) // 8) * 8
+                            THEN [array_to_string(
+                                    w[(len(w) // 8) * 8 + 1 : len(w)], ' ')]
+                            ELSE [] END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ['{_LINE_FOOTER}'] ELSE [] END))) AS ls
+              FROM toks
+            ),
+            lines AS (
+              SELECT doc_id, i AS idx, ls[i] AS line
+              FROM (SELECT doc_id, ls,
+                           unnest(range(1, len(ls) + 1)) AS i FROM lined)
+            ),
+            dup AS (
+              SELECT md5(line) AS lk FROM lines
+              GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2
+            ),
+            fl AS (
+              SELECT doc_id, idx, line,
+                     md5(line) IN (SELECT lk FROM dup) AS is_dup
+              FROM lines
+            ),
+            agg AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     count(*) FILTER (WHERE is_dup) AS n_dropped,
+                     CAST(sum(length(line)) AS BIGINT) AS chars_total,
+                     CAST(coalesce(sum(length(line))
+                            FILTER (WHERE is_dup), 0) AS BIGINT)
+                       AS chars_dropped,
+                     string_agg(CASE WHEN NOT is_dup THEN line END,
+                                chr(10) ORDER BY idx) AS clean_text
+              FROM fl GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_lines, 0) AS n_lines,
+                   coalesce(a.n_dropped, 0) AS n_dropped,
+                   coalesce(a.chars_total, 0) AS chars_total,
+                   coalesce(a.chars_dropped, 0) AS chars_dropped,
+                   coalesce(a.chars_dropped, 0) * 10
+                     <= coalesce(a.chars_total, 0) * 3 AS kept
+            FROM lined l LEFT JOIN agg a USING (doc_id)
+        """,
+        "training_shards": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('r6:' || CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents
+            ),
+            a AS (
+              SELECT doc_id, hk,
+                     CAST(CAST('0x' || substring(hk, 1, 15) AS BIGINT) % 16
+                          AS INTEGER) AS shard
+              FROM k
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY hk, doc_id) AS pos
+            FROM a
         """,
     }
