@@ -208,6 +208,31 @@ def q_passage_removal(spark, sf):
     return remove_repeated_passages(d)
 
 
+def q_exact_substring_removal(spark, sf):
+    """ExactSubstr at arbitrary offsets (operators/exactsubstr.py — the
+    Spark-native form of Lee et al. 2022's suffix-array tool): every
+    cross-doc duplicated >=8-token run erased from every doc, spans
+    merged, gutted docs killed (integer-exact 30% rule). Plants a
+    shifted companion per doc_id%4==0 (2 filler tokens + the doc's first
+    30 tokens) so duplicated runs exist at MISALIGNED offsets — the case
+    fixed-grid passage hashing cannot see. DuckDB replays the token
+    stream, the overlapping k-gram flag set, covered-position expansion,
+    merged-interval counting, ordered reassembly and the kill rule
+    verbatim."""
+    from fastdup_spark.operators.exactsubstr import remove_duplicated_spans
+
+    d = _t(spark, sf, "documents")
+    w = _tokens(F.col("text"))
+    plant = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.array(F.lit("intro"), F.lit("filler")),
+                     F.slice(w, 1, 30))).alias("text"))
+    both = d.select("doc_id", "text").unionByName(plant)
+    return remove_duplicated_spans(both, k=8)
+
+
 _LINE_BANNER = "subscribe to our newsletter today for updates"
 _LINE_FOOTER = "copyright acme corp all rights reserved worldwide"
 
@@ -1485,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line-level dedup + training-shard shuffle (round 6 continuation)
         "line_dedup": q_line_dedup,
         "training_shards": q_training_shards,
+        # arbitrary-offset duplicated-span removal (ExactSubstr form)
+        "exact_substring_removal": q_exact_substring_removal,
     }
 
 
@@ -3187,5 +3214,77 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY shard
                                       ORDER BY hk, doc_id) AS pos
             FROM a
+        """,
+        # full ExactSubstr replay: shifted-companion plant, overlapping
+        # 8-gram flag set (>=2 distinct docs), covered-position expansion,
+        # merged-interval count, ordered string_agg reassembly, the
+        # integer-exact 30% kill rule
+        "exact_substring_removal": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000 AS doc_id,
+                     array_to_string(
+                       list_concat(['intro', 'filler'], ({tok})[1:30]),
+                       ' ') AS text
+              FROM documents WHERE doc_id % 4 = 0
+            ),
+            toks AS (SELECT doc_id, {tok} AS w FROM docs),
+            g AS (
+              SELECT doc_id, i AS start,
+                     md5(array_to_string(w[i : i+7], ' ')) AS gk
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, len(w) - 8 + 2)) AS i
+                    FROM toks)
+            ),
+            dup AS (
+              SELECT gk FROM g GROUP BY gk
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            st AS (
+              SELECT doc_id, start FROM g
+              WHERE gk IN (SELECT gk FROM dup)
+            ),
+            spans AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN prev IS NULL OR start > prev + 7
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM st)
+              GROUP BY doc_id
+            ),
+            dropped AS (
+              SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS idx
+              FROM st
+            ),
+            tk AS (
+              SELECT doc_id, i AS idx, w[i] AS tok
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, len(w) + 1)) AS i FROM toks)
+              WHERE w[i] <> ''
+            ),
+            per AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN d.idx IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dropped,
+                     string_agg(CASE WHEN d.idx IS NULL THEN t.tok END,
+                                ' ' ORDER BY t.idx) AS clean_text
+              FROM tk t
+              LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.idx = d.idx
+              GROUP BY t.doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(p.clean_text, '') AS clean_text,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.n_dropped, 0) AS n_dropped,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(p.n_dropped, 0) * 10
+                     <= coalesce(p.n_tokens, 0) * 3 AS kept
+            FROM (SELECT doc_id FROM docs) b
+            LEFT JOIN per p ON b.doc_id = p.doc_id
+            LEFT JOIN spans s ON b.doc_id = s.doc_id
         """,
     }
