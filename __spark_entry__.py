@@ -292,6 +292,20 @@ def q_training_shards(spark, sf):
         .select("doc_id", "shard", "pos")
 
 
+def q_sequence_packing(spark, sf):
+    """Deterministic next-fit sequence packing (operators/packing.py):
+    every doc assigned a (shard, bin, bin_offset) training slot — no
+    splits, no truncation, oversize docs flagged in a bin of their own.
+    The per-shard next-fit recurrence runs in ONE grouped-pandas pass;
+    DuckDB replays it exactly with a recursive CTE walking all shards in
+    lockstep (plus the md5 shard/pos permutation and the shared ws-token
+    counts)."""
+    from fastdup_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, capacity=200, n_shards=8, salt="pack")
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -1512,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         # arbitrary-offset duplicated-span removal (ExactSubstr form)
         "exact_substring_removal": q_exact_substring_removal,
+        # next-fit training-bin packing (recursive-CTE oracle)
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -3286,5 +3302,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM docs) b
             LEFT JOIN per p ON b.doc_id = p.doc_id
             LEFT JOIN spans s ON b.doc_id = s.doc_id
+        """,
+        # exact next-fit replay: md5 shard/pos permutation, then a
+        # recursive CTE carries (bin, fill) along each shard's pos walk —
+        # one iteration per pos level, all shards advance in lockstep
+        "sequence_packing": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({tok}, x -> x <> ''))
+                          AS BIGINT) AS n_tokens,
+                     md5('pack:' || CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, n_tokens, hk,
+                     CAST(CAST('0x' || substring(hk, 1, 15) AS BIGINT) % 8
+                          AS INTEGER) AS shard
+              FROM base
+            ),
+            ordered AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(row_number() OVER (PARTITION BY shard
+                                             ORDER BY hk, doc_id)
+                          AS BIGINT) AS pos
+              FROM sh
+            ),
+            walk AS (
+              SELECT shard, pos, doc_id, n_tokens,
+                     CAST(1 AS BIGINT) AS bin,
+                     CAST(0 AS BIGINT) AS bin_offset,
+                     n_tokens AS fill
+              FROM ordered WHERE pos = 1
+              UNION ALL
+              SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+                     CASE WHEN w.fill + o.n_tokens <= 200
+                          THEN w.bin ELSE w.bin + 1 END,
+                     CASE WHEN w.fill + o.n_tokens <= 200
+                          THEN w.fill ELSE CAST(0 AS BIGINT) END,
+                     CASE WHEN w.fill + o.n_tokens <= 200
+                          THEN w.fill + o.n_tokens ELSE o.n_tokens END
+              FROM walk w
+              JOIN ordered o ON o.shard = w.shard AND o.pos = w.pos + 1
+            )
+            SELECT doc_id, shard, pos, n_tokens, bin, bin_offset,
+                   n_tokens > 200 AS oversize
+            FROM walk
         """,
     }
