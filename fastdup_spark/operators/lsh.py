@@ -104,3 +104,60 @@ def lsh_candidates(sig_df: DataFrame, bands: int, rows: int,
     stats = bucket_stats(buckets)
     salted = salt_buckets(buckets, stats, max_bucket_size, salt_target)
     return candidate_pairs(salted), stats
+
+
+# --------------------------------------------------------------------------
+# banding-parameter auto-tuner (driver-side math, no Spark)
+# --------------------------------------------------------------------------
+
+def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
+    """P(candidate) for a pair at the given true Jaccard under (bands,
+    rows) banding: 1 - (1 - j^rows)^bands — the MMDS S-curve."""
+    return 1.0 - (1.0 - jaccard ** rows) ** bands
+
+
+def tune_lsh_params(threshold: float, n_perm: int = 128,
+                    min_recall: float = 0.99,
+                    grid: int = 1000) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == n_perm for a target Jaccard
+    threshold, recall-first.
+
+    The pipeline contract is dup-pair recall >= 0.99 for pairs at or
+    above the threshold, and the S-curve p(s) = 1-(1-s^rows)^bands is
+    monotone in s — so p(threshold) >= min_recall guarantees the floor
+    for EVERY qualifying pair. Among divisor pairs meeting that floor,
+    minimize the false-candidate area (integral of p(s) over [0,
+    threshold], fixed midpoint grid — deterministic): false candidates
+    only cost verify work (exact Jaccard rejects them), so they are the
+    thing to trade, never recall. If no factorization reaches the floor
+    (tiny n_perm, low threshold), fall back to argmax p(threshold).
+    At the engine defaults: tune_lsh_params(0.85) -> (16, 8) (p(t) =
+    0.9938, about half the sub-threshold candidate area of the config's
+    32x4), and tune_lsh_params(0.85, min_recall=0.999) -> (32, 4), the
+    shipped PipelineConfig choice (p(t) ~= 1 - 6e-11).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    best_ok = None   # (fp_area, bands, rows) among floor-meeting pairs
+    best_any = None  # (-p_at_t, bands, rows) fallback
+    for rows in range(1, n_perm + 1):
+        if n_perm % rows:
+            continue
+        bands = n_perm // rows
+        p_at_t = lsh_collision_prob(threshold, bands, rows)
+        if best_any is None or -p_at_t < best_any[0]:
+            best_any = (-p_at_t, bands, rows)
+        if p_at_t < min_recall:
+            continue
+        fp = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            if s >= threshold:
+                break
+            fp += lsh_collision_prob(s, bands, rows) / grid
+        if best_ok is None or fp < best_ok[0]:
+            best_ok = (fp, bands, rows)
+    pick = best_ok or best_any
+    return pick[1], pick[2]

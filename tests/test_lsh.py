@@ -84,3 +84,69 @@ def test_bucket_counters_in_marker(fd):
     assert c["n_buckets_ge2"] > 0
     assert c["max_bucket_size"] >= 2
     assert "n_salted_buckets" in c
+
+
+def test_tuner_collision_prob_matches_config_doc():
+    from fastdup_spark.operators.lsh import lsh_collision_prob
+    # the config docstring's recall claim: 32x4 at J=0.85 ~= 1 - 6e-11
+    p = lsh_collision_prob(0.85, 32, 4)
+    assert p > 1 - 1e-9
+
+
+def test_tuner_recall_floor_and_factorization():
+    from fastdup_spark.operators.lsh import (
+        lsh_collision_prob, tune_lsh_params,
+    )
+    for t, n in [(0.5, 128), (0.7, 128), (0.85, 128), (0.9, 256),
+                 (0.95, 64), (0.3, 128)]:
+        b, r = tune_lsh_params(t, n)
+        assert b * r == n and b >= 1 and r >= 1
+        # every tested point has SOME factorization above the floor, so
+        # the pick must honor it
+        assert lsh_collision_prob(t, b, r) >= 0.99, (t, n, b, r)
+
+
+def test_tuner_matches_shipped_config():
+    from fastdup_spark.operators.lsh import tune_lsh_params
+    # the docstring's pinned examples
+    assert tune_lsh_params(0.85, 128) == (16, 8)
+    assert tune_lsh_params(0.85, 128, min_recall=0.999) == (32, 4)
+
+
+def test_tuner_prefers_fewer_false_candidates_within_floor():
+    from fastdup_spark.operators.lsh import (
+        lsh_collision_prob, tune_lsh_params,
+    )
+    b, r = tune_lsh_params(0.85, 128)
+    # more rows than the shipped 32x4 -> strictly smaller sub-threshold area
+    assert r > 4
+    assert lsh_collision_prob(0.5, b, r) < lsh_collision_prob(0.5, 32, 4)
+
+
+def test_tuner_rows_grow_with_threshold():
+    from fastdup_spark.operators.lsh import tune_lsh_params
+    rows = [tune_lsh_params(t, 128)[1] for t in (0.3, 0.6, 0.9)]
+    assert rows == sorted(rows) and rows[0] < rows[-1]
+
+
+def test_tuner_fallback_when_floor_unreachable():
+    from fastdup_spark.operators.lsh import (
+        lsh_collision_prob, tune_lsh_params,
+    )
+    # n_perm=4 at t=0.3: no factorization reaches 0.99 -> argmax p(t)
+    b, r = tune_lsh_params(0.3, 4)
+    assert b * r == 4
+    best = max(((bb, 4 // bb) for bb in (1, 2, 4)),
+               key=lambda br: lsh_collision_prob(0.3, br[0], br[1]))
+    assert (b, r) == best
+
+
+def test_tuner_validation():
+    import pytest as _pytest
+    from fastdup_spark.operators.lsh import tune_lsh_params
+    with _pytest.raises(ValueError):
+        tune_lsh_params(0.0)
+    with _pytest.raises(ValueError):
+        tune_lsh_params(1.0)
+    with _pytest.raises(ValueError):
+        tune_lsh_params(0.5, 0)
