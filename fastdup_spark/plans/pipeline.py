@@ -1056,6 +1056,55 @@ class FastdupSpark:
         scored = score_perplexity(self.docs().select("doc_id", "text"), lm)
         return self.docs().select("doc_id", "url").join(scored, "doc_id")
 
+    def remove_spans(self, k: int = 50, min_docs: int = 2,
+                     max_drop_frac: float = 0.3) -> DataFrame:
+        """ExactSubstr-style rewrite of the corpus (operators/exactsubstr.py
+        — Lee et al. 2022 at arbitrary offsets): cross-doc duplicated
+        >=k-token runs erased from every doc, spans merged, docs losing
+        more than ``max_drop_frac`` of their tokens flagged kept=False.
+        Returns (doc_id, url, clean_text, n_tokens, n_dropped, n_spans,
+        kept). k defaults to 50 tokens, the paper's setting."""
+        from fastdup_spark.operators.exactsubstr import (
+            remove_duplicated_spans)
+
+        out = remove_duplicated_spans(
+            self.docs().select("doc_id", "text"), k=k, min_docs=min_docs,
+            max_drop_frac=max_drop_frac)
+        return self.docs().select("doc_id", "url").join(out, "doc_id")
+
+    def remove_lines(self, min_docs: int = 2,
+                     max_drop_frac: float = 0.3) -> DataFrame:
+        """RefinedWeb/FineWeb line-level rewrite of the corpus
+        (operators/lines.py): lines duplicated across >= ``min_docs``
+        docs dropped everywhere, docs losing more than ``max_drop_frac``
+        of their characters flagged kept=False. Returns (doc_id, url,
+        clean_text, n_lines, n_dropped, chars_total, chars_dropped,
+        kept)."""
+        from fastdup_spark.operators.lines import remove_duplicated_lines
+
+        out = remove_duplicated_lines(
+            self.docs().select("doc_id", "text"), min_docs=min_docs,
+            max_drop_frac=max_drop_frac)
+        return self.docs().select("doc_id", "url").join(out, "doc_id")
+
+    def pack(self, capacity: int, n_shards: int | None = None,
+             salt: str = "") -> DataFrame:
+        """Deterministic training-slot assignment for the corpus
+        (operators/packing.py): every doc a whole (shard, bin,
+        bin_offset) next-fit slot along the md5 shuffle permutation —
+        the release-shape output stage. n_shards defaults to the
+        corpus-size heuristic shared with the training-shard writer.
+        Returns (doc_id, shard, pos, n_tokens, bin, bin_offset,
+        oversize)."""
+        from fastdup_spark.operators.packing import pack_sequences
+        from fastdup_spark.operators.shards import resolve_n_shards
+
+        d = self.docs().select("doc_id", "text")
+        if n_shards is None:
+            n_shards = resolve_n_shards(d.count())
+        return pack_sequences(d, capacity=capacity, n_shards=n_shards,
+                              salt=salt)
+
     def search_many(self, queries: DataFrame, k: int = 10,
                     threshold: float | None = None,
                     id_col: str = "query_id", text_col: str = "text",

@@ -279,3 +279,36 @@ def test_semdedup_api(fd):
     asg = {r["doc_id"]: r["cluster"] for r in res["assignments"].collect()}
     for r in res["edges"].limit(50).collect():
         assert asg[r["src"]] == asg[r["dst"]]
+
+
+def test_remove_spans_api(fd):
+    """fd.remove_spans: one row per valid doc; fixture dup clusters share
+    long verbatim runs, so spans ARE found and erased symmetrically."""
+    n_docs = fd.docs().count()
+    out = fd.remove_spans(k=10)
+    assert out.count() == n_docs
+    assert set(out.columns) == {"doc_id", "url", "clean_text", "n_tokens",
+                                "n_dropped", "n_spans", "kept"}
+    hit = out.filter("n_dropped > 0")
+    assert hit.count() > 0
+    assert out.filter("n_spans > 0").count() == hit.count()
+
+
+def test_remove_lines_api(fd):
+    n_docs = fd.docs().count()
+    out = fd.remove_lines()
+    assert out.count() == n_docs
+    assert "chars_dropped" in out.columns
+
+
+def test_pack_api(fd):
+    n_docs = fd.docs().count()
+    out = fd.pack(capacity=512, n_shards=4).collect()
+    assert len(out) == n_docs
+    # every non-oversize bin fits
+    fills = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["bin"]), [0, False])
+        fills[(r["shard"], r["bin"])][0] += r["n_tokens"]
+        fills[(r["shard"], r["bin"])][1] |= r["oversize"]
+    assert all(f <= 512 or over for f, over in fills.values())
