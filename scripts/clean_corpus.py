@@ -10,10 +10,13 @@ training-data pipeline runs before/after dedup (Dolma/RefinedWeb shape).
         [--blocklist-file words.txt | --blocklist w1,w2] \
         [--sample-rate 0.25] [--sample-salt s1]
 
-Passes apply in the order given. Every pass is pure built-in JVM
-expressions (map-side; the whole job is scan -> project/filter -> write,
-no shuffle), so it runs at input-scan speed on any cluster size. A JSON
-line with per-pass row/redaction counts prints on completion.
+Passes apply in the order given. c4/pii/blocklist are pure built-in
+JVM map-side expressions (scan -> project/filter -> write, no shuffle);
+the cross-doc dedup passes `lines` (RefinedWeb line dedup,
+operators/lines.py) and `spans` (ExactSubstr arbitrary-offset run
+removal, operators/exactsubstr.py) each add the documented one-shuffle
+flag pass plus a per-doc reassembly. A JSON line with per-pass
+row/redaction counts prints on completion.
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ def main() -> None:
     ap.add_argument("--passes", default="c4,pii",
                     help="comma list, applied in order: c4 (line rules + "
                          "page kills), pii (email/IPv4/phone redaction), "
-                         "blocklist (drop docs with a blocklisted token)")
+                         "blocklist (drop docs with a blocklisted token), "
+                         "lines (cross-doc duplicated-line removal), "
+                         "spans (ExactSubstr duplicated-run removal)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-words", type=int, default=5)
@@ -38,6 +43,12 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None, help="comma list of words")
     ap.add_argument("--blocklist-file", default=None,
                     help="one word per line; overrides --blocklist")
+    ap.add_argument("--span-k", type=int, default=50,
+                    help="spans pass: minimum duplicated run length "
+                         "(tokens; Lee et al. use 50)")
+    ap.add_argument("--max-drop-frac", type=float, default=0.3,
+                    help="lines/spans passes: kill docs losing more than "
+                         "this fraction (chars / tokens)")
     ap.add_argument("--sample-rate", type=float, default=None,
                     help="keep ~rate of surviving docs, deterministically "
                          "(hash_rate_sample; applied last)")
@@ -52,10 +63,10 @@ def main() -> None:
     from fastdup_spark.operators.sampling import hash_rate_sample
 
     passes = [p.strip() for p in args.passes.split(",") if p.strip()]
-    bad = set(passes) - {"c4", "pii", "blocklist"}
+    bad = set(passes) - {"c4", "pii", "blocklist", "lines", "spans"}
     if bad:
         raise SystemExit(f"--passes: unknown {sorted(bad)} "
-                         "(choose from c4, pii, blocklist)")
+                         "(choose from c4, pii, blocklist, lines, spans)")
     words: list[str] = []
     if "blocklist" in passes:
         if args.blocklist_file:
@@ -99,6 +110,28 @@ def main() -> None:
                                       id_cols=(idc,)) \
                 .filter(F.col("blocked")).select(idc)
             df = df.join(flagged, idc, "left_anti")
+        elif p == "lines":
+            from fastdup_spark.operators.lines import (
+                remove_duplicated_lines)
+            keep = remove_duplicated_lines(
+                df, max_drop_frac=args.max_drop_frac,
+                id_col=idc, text_col=txt) \
+                .filter(F.col("kept")) \
+                .select(F.col("doc_id").alias(idc),
+                        F.col("clean_text").alias(txt))
+            df = keep.join(df.select(idc, *other_cols), idc) if other_cols \
+                else keep
+        elif p == "spans":
+            from fastdup_spark.operators.exactsubstr import (
+                remove_duplicated_spans)
+            keep = remove_duplicated_spans(
+                df, k=args.span_k, max_drop_frac=args.max_drop_frac,
+                id_col=idc, text_col=txt) \
+                .filter(F.col("kept")) \
+                .select(F.col("doc_id").alias(idc),
+                        F.col("clean_text").alias(txt))
+            df = keep.join(df.select(idc, *other_cols), idc) if other_cols \
+                else keep
         counts[f"after_{p}"] = df.count()
 
     if args.sample_rate is not None:

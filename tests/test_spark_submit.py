@@ -124,3 +124,50 @@ def test_clean_corpus_cli(tmp_path, spark, monkeypatch):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0].doc_id == 1
     assert "<EMAIL>" in got[0].text and "bob@example.org" not in got[0].text
+
+
+def test_clean_corpus_cli_dedup_passes(tmp_path, spark, monkeypatch):
+    """--passes lines,spans: the cross-doc dedup passes rewrite text and
+    kill gutted docs; other columns survive the rejoin."""
+    import importlib.util
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "clean_corpus_mod2", os.path.join(REPO, "scripts", "clean_corpus.py"))
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    banner = "identical banner line repeated on every page"
+    run = " ".join(f"dup{i}" for i in range(10))
+    def body(tag):
+        return "\n".join(" ".join(f"{tag}w{l}{i}" for i in range(10))
+                          for l in range(3))
+    rows = [
+        (1, f"{banner}\n{body('a')}\n{run}", "a"),
+        (2, f"{banner}\n{body('b')}\nx {run} y", "b"),
+        # gutted by the lines pass: banner only
+        (3, banner, "c"),
+    ]
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    spark.createDataFrame(rows, ["doc_id", "text", "tag"]).write.parquet(inp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "clean_corpus.py", "--input", inp, "--output", out,
+        "--passes", "lines,spans", "--span-k", "10"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cc.main()
+    counts = json.loads(
+        [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1])
+    assert counts["input_docs"] == 3
+    assert counts["after_lines"] == 2       # banner-only doc killed
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}
+    for r in got.values():
+        assert banner not in r.text         # lines pass removed the banner
+        assert "dup0" not in r.text         # spans pass removed the run
+        assert r.tag in ("a", "b")          # other columns rejoined
+    assert "aw00" in got[1].text
