@@ -169,10 +169,50 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
-def test_plan_is_jvm_only(spark):
+def test_oracle_mode_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, "a b c d e")],
+                               "doc_id bigint, text string")
+    plan = remove_duplicated_spans(df, k=4, hash_mode="oracle") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_fast_mode_single_arrow_pass(spark):
     df = spark.createDataFrame([(1, "a b c d e")],
                                "doc_id bigint, text string")
     plan = remove_duplicated_spans(df, k=4)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan   # never row-at-a-time Python
+    assert "ArrowEvalPython" not in plan   # no scalar UDF (double-eval trap)
+    assert plan.count("MapInPandas") == 1  # hash+explode fused, ONE pass
+
+
+def test_fast_oracle_parity(spark):
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fast = sorted(map(tuple, remove_duplicated_spans(df, k=4).collect()))
+    orc = sorted(map(tuple,
+                     remove_duplicated_spans(df, k=4,
+                                             hash_mode="oracle").collect()))
+    assert fast == orc
+
+
+def test_hash_mode_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        remove_duplicated_spans(df, k=2, hash_mode="nope").collect()
+
+
+def test_merged_spans_helper(spark):
+    from fastdup_spark.operators.exactsubstr import merged_spans
+    starts = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 9), (2, 5)], "doc_id bigint, start int")
+    out = {r["doc_id"]: r for r in merged_spans(starts, k=4).collect()}
+    # doc 1: windows at 1,2 merge into [1,5]; 9 starts [9,12]
+    assert [(s["s"], s["e"]) for s in out[1]["spans"]] == [(1, 5), (9, 12)]
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 9
+    assert [(s["s"], s["e"]) for s in out[2]["spans"]] == [(5, 8)]
