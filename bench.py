@@ -268,6 +268,34 @@ def main() -> None:
             "dropped": int(agg["d"]),
         }
 
+    # ExactSubstr economics (operators/exactsubstr.py): duplicated >=50-token
+    # runs erased over the SAME extracted corpus the headline deduped (the
+    # last trial's store) — the fast mapInPandas path. Separate block (NOT
+    # in the queries total) like the cascade, so the headline stays
+    # comparable round-over-round.
+    exactsubstr_block = None
+    if os.environ.get("BENCH_EXACTSUBSTR", "1") != "0":
+        from pyspark.sql import functions as SF_FN
+
+        from fastdup_spark.operators.exactsubstr import (
+            remove_duplicated_spans)
+        t0 = time.time()
+        es = remove_duplicated_spans(fd.docs().select("doc_id", "text"),
+                                     k=50)
+        agg = es.agg(
+            SF_FN.count("*").alias("n"),
+            SF_FN.sum("n_tokens").alias("tok"),
+            SF_FN.sum("n_dropped").alias("drop"),
+            SF_FN.sum((~SF_FN.col("kept")).cast("int")).alias("killed"),
+        ).first()
+        sec = round(time.time() - t0, 3)
+        exactsubstr_block = {
+            "sec": sec, "docs": int(agg["n"]),
+            "tokens": int(agg["tok"]), "tokens_dropped": int(agg["drop"]),
+            "docs_killed": int(agg["killed"]),
+            "tokens_per_s": round(agg["tok"] / sec, 1),
+        }
+
     spark.stop()
 
     # scaling-efficiency proxy (BASELINE.md): same job, same input, N vs 4N
@@ -310,6 +338,7 @@ def main() -> None:
         "incremental_trickle": incremental_trickle,
         "cascade": cascade,
         "semdedup": semdedup_block,
+        "exactsubstr": exactsubstr_block,
         "scaling": scaling,
         "kernel_scaling_rows_per_s": kernel,
     }

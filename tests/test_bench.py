@@ -38,3 +38,8 @@ def test_bench_json_contract():
         "knn", "best_nn", "assignments", "component_info", "outliers"}
     assert all(v <= inc["store_shards"]
                for v in inc["shards_rewritten"].values())
+    # round-6 continuation: ExactSubstr block present and self-consistent
+    es = d["exactsubstr"]
+    assert es["sec"] > 0 and es["docs"] > 0
+    assert 0 <= es["tokens_dropped"] <= es["tokens"]
+    assert 0 <= es["docs_killed"] <= es["docs"]
