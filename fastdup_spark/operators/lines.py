@@ -14,18 +14,26 @@ usually incoherent (FineWeb drops docs losing >30% by chars).
 The reference has no line surface (image engine); this is part of the
 beyond-the-reference LLM-data tier (SURVEY §2 addenda).
 
-Scale shape (default min_docs=2): ONE window shuffle on the line hash
-(is_dup = min(doc_id) != max(doc_id) over the hash — exactly ">= 2
+Scale shape (default min_docs=2): the flag pass shuffles (doc_id, idx,
+xxhash64(line)) ONLY — 20 bytes/line, never the line text (is_dup =
+min(doc_id) != max(doc_id) window over the hash — exactly ">= 2
 distinct docs" with no per-key set materialization even for a banner
-line occurring in millions of docs) and one groupBy(doc) to reassemble.
-Generic min_docs falls back to a count-distinct aggregate + left join.
-No collect, no Python UDFs — everything is built-in expressions in
-WholeStageCodegen, and the DuckDB driver oracle (`line_dedup`) replays
-the whole thing verbatim.
+line occurring in millions of docs; generic min_docs falls back to a
+count-distinct aggregate + semi join). The DROPPED (doc_id, idx) rows —
+the duplicated minority — aggregate into one small per-doc index array,
+and the doc is rewritten DOC-LOCALLY: the raw text re-splits in place
+and an indexed higher-order filter removes the dropped slots, so the
+corpus text crosses exactly one doc-keyed join shuffle instead of the
+window + collect_list round trip (2 full-text shuffles) of the naive
+form. Same pattern as operators/exactsubstr.py. No collect, no Python
+UDFs — everything is built-in expressions in WholeStageCodegen, and the
+DuckDB driver oracle (`line_dedup`) replays the semantics verbatim
+(the hash only marks equality; the oracle re-derives equality from the
+text itself).
 
 Determinism: clean_text is the newline-join of the doc's surviving
-trimmed lines in original order (array_sort on (idx, line) structs —
-no collect_list order reliance); the kept verdict compares integer char
+trimmed lines in original order by construction (in-place rebuild — no
+collect_list order reliance); the kept verdict compares integer char
 counts (chars_dropped * denom <= num * chars_total), never floats.
 """
 
@@ -76,53 +84,54 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 2,
     frac = Fraction(max_drop_frac).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
-    ln = doc_lines(docs, id_col, text_col).withColumn("lk", F.md5("line"))
+    # flag pass: hash-only shuffle (the line text never leaves its doc)
+    ln = doc_lines(docs, id_col, text_col) \
+        .select("doc_id", "idx", F.xxhash64("line").alias("lk"))
     if min_docs == 2:
         # fast path: ">= 2 distinct docs" == min != max over the line hash
         wlk = Window.partitionBy("lk")
-        flagged = ln.withColumn(
-            "is_dup",
-            F.min("doc_id").over(wlk) != F.max("doc_id").over(wlk))
+        dropped = (
+            ln.withColumn(
+                "is_dup",
+                F.min("doc_id").over(wlk) != F.max("doc_id").over(wlk))
+            .filter(F.col("is_dup")).select("doc_id", "idx"))
     else:
         dup = (
             ln.groupBy("lk")
             .agg(F.count_distinct("doc_id").alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
-            .select("lk", F.lit(True).alias("is_dup"))
+            .select("lk")
         )
-        flagged = ln.join(dup, "lk", "left") \
-            .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
-    per_doc = (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-            .cast("long").alias("n_dropped"),
-            F.sum(F.length("line")).cast("long").alias("chars_total"),
-            F.sum(F.when(F.col("is_dup"), F.length("line")).otherwise(0))
-            .cast("long").alias("chars_dropped"),
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        F.array_sort(F.collect_list(
-                            F.struct("idx", "line", "is_dup"))),
-                        lambda s: ~s["is_dup"]),
-                    lambda s: s["line"]),
-                "\n").alias("clean_text"),
-        )
-    )
+        dropped = ln.join(dup, "lk", "left_semi").select("doc_id", "idx")
+    per_doc = dropped.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("idx")).alias("didx"))
+
+    # doc-local rebuild: re-split in place, drop flagged slots by index
+    trimmed = F.transform(F.split(F.col(text_col), "\n", -1),
+                          lambda s: F.btrim(s, F.lit(" \t\r")))
+    base = docs.select(F.col(id_col).alias("doc_id"), trimmed.alias("ls"))
+    no_idx = F.array().cast("array<int>")
     zero = F.lit(0).cast("long")
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_lines"), zero).alias("n_lines"),
-            F.coalesce(F.col("n_dropped"), zero).alias("n_dropped"),
-            F.coalesce(F.col("chars_total"), zero).alias("chars_total"),
-            F.coalesce(F.col("chars_dropped"), zero).alias("chars_dropped"),
-            (F.coalesce(F.col("chars_dropped"), zero) * den
-             <= F.coalesce(F.col("chars_total"), zero) * num).alias("kept"),
-        )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "ls", F.coalesce(F.col("didx"), no_idx).alias("didx"))
+    chars_dropped = F.aggregate(
+        F.col("didx"), zero,
+        lambda acc, i: acc + F.length(F.element_at(F.col("ls"), i)))
+    clean = F.array_join(
+        F.filter(
+            F.col("ls"),
+            lambda x, i: (x != "") & ~F.array_contains(F.col("didx"),
+                                                       i + 1)),
+        "\n")
+    chars_total = F.aggregate(F.col("ls"), zero,
+                              lambda acc, x: acc + F.length(x))
+    return joined.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.filter(F.col("ls"), lambda x: x != ""))
+        .cast("long").alias("n_lines"),
+        F.size("didx").cast("long").alias("n_dropped"),
+        chars_total.alias("chars_total"),
+        chars_dropped.alias("chars_dropped"),
+        (chars_dropped * den <= chars_total * num).alias("kept"),
     )
