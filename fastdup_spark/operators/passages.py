@@ -14,20 +14,26 @@ remaining chunks reassembled in order with the sub-chunk tail preserved.
 The reference has no passage surface (image engine); this is part of the
 beyond-the-reference LLM-data tier (SURVEY §2 addenda).
 
-Scale shape (default min_docs=2): ONE window shuffle on the chunk hash
-(is_rep = min(doc_id) != max(doc_id) over the hash — exactly ">= 2
+Scale shape (default min_docs=2): the flag pass shuffles (doc_id, idx,
+xxhash64(chunk)) ONLY — 20 bytes/chunk, never the chunk text (is_rep =
+min(doc_id) != max(doc_id) window over the hash — exactly ">= 2
 distinct docs", with no per-key set materialization even when a
-boilerplate chunk occurs in millions of docs) and one groupBy(doc) to
-reassemble — the corpus is chunked once for the flag pass and once for
-the tail/n_chunks projection. Generic min_docs falls back to a
-count-distinct aggregate + left join on the hash. No collect, no Python
-UDFs — everything is built-in expressions, so the whole plan stays in
-WholeStageCodegen and the DuckDB driver oracle (`passage_removal`)
-replays it verbatim.
+boilerplate chunk occurs in millions of docs; generic min_docs falls
+back to a count-distinct aggregate + semi join). The DROPPED (doc_id,
+idx) rows — the repeated minority — aggregate into one small per-doc
+index array, and the doc is rewritten DOC-LOCALLY: chunks re-derive in
+place and an indexed filter removes the dropped slots, so corpus text
+crosses exactly one doc-keyed join shuffle instead of the window +
+collect_list round trip (2 full-text shuffles) of the naive form. Same
+pattern as operators/exactsubstr.py and operators/lines.py. No collect,
+no Python UDFs — everything is built-in expressions in
+WholeStageCodegen, and the DuckDB driver oracle (`passage_removal`)
+replays the semantics verbatim (the hash only marks equality; the
+oracle re-derives equality from the text itself).
 
 Determinism: output text is the single-space join of the doc's surviving
-normalized tokens — invariant to partitioning (array_sort on (idx,
-passage) structs before the join, no collect_list order reliance).
+normalized tokens, in order by construction (in-place rebuild — no
+collect_list order reliance).
 """
 
 from __future__ import annotations
@@ -77,41 +83,33 @@ def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
     from pyspark.sql import Window
 
     k = chunk_words
+    # flag pass: hash-only shuffle (the chunk text never leaves its doc)
     ch = passage_chunks(docs, k, id_col, text_col) \
-        .withColumn("pk", F.md5("passage"))
+        .select("doc_id", "idx", F.xxhash64("passage").alias("pk"))
     if min_docs == 2:
         # fast path: "appears in >= 2 distinct docs" == min(doc_id) !=
         # max(doc_id) over the chunk hash — ONE window shuffle, no
         # repeated-set join, and no per-key collect_set (a boilerplate
         # chunk can occur in millions of docs at corpus scale)
         wpk = Window.partitionBy("pk")
-        flagged = ch.withColumn(
-            "is_rep",
-            F.min("doc_id").over(wpk) != F.max("doc_id").over(wpk))
+        dropped = (
+            ch.withColumn(
+                "is_rep",
+                F.min("doc_id").over(wpk) != F.max("doc_id").over(wpk))
+            .filter(F.col("is_rep")).select("doc_id", "idx"))
     else:
         repeated = (
             ch.groupBy("pk")
             .agg(F.count_distinct("doc_id").alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
-            .select("pk", F.lit(True).alias("is_rep"))
+            .select("pk")
         )
-        flagged = ch.join(repeated, "pk", "left") \
-            .withColumn("is_rep", F.coalesce(F.col("is_rep"), F.lit(False)))
-    per_doc = (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("is_rep"), 1).otherwise(0))
-            .cast("long").alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        F.array_sort(F.collect_list(
-                            F.struct("idx", "passage", "is_rep"))),
-                        lambda s: ~s["is_rep"]),
-                    lambda s: s["passage"]),
-                " ").alias("body"),
-        )
-    )
+        dropped = ch.join(repeated, "pk", "left_semi") \
+            .select("doc_id", "idx")
+    per_doc = dropped.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("idx")).alias("didx"))
+
+    # doc-local rebuild: chunks re-derive in place, dropped slots skipped
     w = _tokens(F.col(text_col))
     n_full = (F.size(w) / k).cast("int")
     tail = F.when(
@@ -119,20 +117,30 @@ def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
         F.concat_ws(" ", F.slice(w, n_full * k + 1, F.size(w) - n_full * k))
     ).otherwise(F.lit(""))
     base = docs.select(F.col(id_col).alias("doc_id"),
+                       w.alias("w"),
                        n_full.cast("long").alias("n_chunks"),
                        tail.alias("tail"))
-    return (
-        base.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.when(F.coalesce(F.col("body"), F.lit("")) != "",
-                       F.col("body")),
-                F.when(F.col("tail") != "", F.col("tail")),
-            ).alias("clean_text"),
-            "n_chunks",
-            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
-            .alias("n_dropped"),
-        )
+    no_idx = F.array().cast("array<int>")
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "w", "n_chunks", "tail",
+        F.coalesce(F.col("didx"), no_idx).alias("didx"))
+    # guard: sequence(1, 0) DESCENDS in Spark — chunkless docs get []
+    slots = F.when(F.col("n_chunks") < 1, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), joined["n_chunks"].cast("int")))
+    body = F.array_join(
+        F.transform(
+            F.filter(slots,
+                     lambda i: ~F.array_contains(F.col("didx"), i)),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("w"), (i - 1) * k + 1, k))),
+        " ")
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(body != "", body),  # NULL (skipped), never ""
+            F.when(F.col("tail") != "", F.col("tail")),
+        ).alias("clean_text"),
+        "n_chunks",
+        F.size("didx").cast("long").alias("n_dropped"),
     )
