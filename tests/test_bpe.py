@@ -1,0 +1,169 @@
+"""Distributed BPE merge learning (operators/bpe.py) vs a pure-Python
+Sennrich-reference trainer (same pre-tokenization, same tie-break, same
+left-to-right non-overlapping merge application)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastdup_spark.operators.bpe import (
+    BpeMerge, learn_bpe, merge_pattern, segment_expr, vocab, word_counts,
+)
+
+GPT2_RE = (r"'(?:s|t|re|ve|m|ll|d)|"
+           r" ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+")  # python twin (no \p classes)
+
+
+def _py_pretokens(text):
+    out = []
+    for t in re.findall(GPT2_RE, text):
+        if re.sub(r"\s+", "", t) == "":
+            continue
+        out.append(re.sub(r"^ ", "Ġ", t))
+    return out
+
+
+def _py_word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in _py_pretokens(t):
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _py_apply(symbols, left, right):
+    """Left-to-right non-overlapping merge, Sennrich semantics."""
+    out, i = [], 0
+    while i < len(symbols):
+        if (i + 1 < len(symbols) and symbols[i] == left
+                and symbols[i + 1] == right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _py_learn(texts, n_merges, min_count=2):
+    wc = _py_word_counts(texts)
+    words = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        stats = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = \
+                    stats.get((syms[i], syms[i + 1]), 0) + wc[w]
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_count:
+            break
+        merges.append((rank, l, r, n))
+        words = {w: _py_apply(s, l, r) for w, s in words.items()}
+    return merges, {w: words[w] for w in wc}
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+
+SENNRICH = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+
+
+def test_word_counts_gpt2_and_space_mark(spark):
+    wc = {r["word"]: r["count"]
+          for r in word_counts(_docs(spark, ["the cat  the'd cat!"])).collect()}
+    # start-of-text 'the' is bare; the 'the' after the DOUBLE space is
+    # also bare (the \s+ run eats both spaces, GPT-2 regex semantics)
+    assert wc["the"] == 2
+    assert wc["Ġcat"] == 2    # single leading space -> Ġ
+    assert wc["'d"] == 1           # contraction split
+    assert wc["!"] == 1
+    assert not any(" " in w for w in wc)  # never a literal space symbol
+
+
+def test_matches_python_reference_sennrich_corpus(spark):
+    want, _ = _py_learn(SENNRICH, 8)
+    got, words = learn_bpe(_docs(spark, SENNRICH), 8)
+    assert [(m.rank, m.left, m.right, m.pair_count) for m in got] == want
+    # the famous outcome: 'est</w>' becomes one symbol
+    syms = {r["word"]: r["symbols"].split(" ") for r in words.collect()}
+    joined = ["".join([]) or s for s in syms.values()]
+    assert any("est</w>" in s for s in syms.values())
+
+
+def test_matches_python_reference_fuzz(spark):
+    import random
+    rng = random.Random(23)
+    texts = [" ".join(rng.choice(["aba", "abab", "bab", "aa", "baa"])
+                      for _ in range(rng.randint(3, 20)))
+             for _ in range(12)]
+    want, pywords = _py_learn(texts, 10)
+    got, words = learn_bpe(_docs(spark, texts), 10)
+    assert [(m.rank, m.left, m.right, m.pair_count) for m in got] == want
+    syms = {r["word"]: r["symbols"].split(" ") for r in words.collect()}
+    assert syms == pywords
+
+
+def test_left_to_right_nonoverlapping(spark):
+    # 'a a a </w>' under merge (a,a) -> 'aa a </w>' (never 'a aa')
+    texts = ["aaa aaa baseline other words here"]
+    merges, words = learn_bpe(_docs(spark, texts), 1, min_count=1)
+    m = merges[0]
+    syms = {r["word"]: r["symbols"] for r in words.collect()}
+    if (m.left, m.right) == ("a", "a"):
+        assert syms["aaa"].startswith("aa a")
+
+
+def test_min_count_stop_and_empty_corpus(spark):
+    merges, words = learn_bpe(_docs(spark, ["x y z"]), 5, min_count=2)
+    assert merges == []  # every pair unique -> stop immediately
+    merges, _ = learn_bpe(_docs(spark, ["   "]), 3)
+    assert merges == []  # whitespace-only corpus: no words at all
+
+
+def test_special_regex_chars_as_symbols(spark):
+    # symbols like '.', '$', '(' must merge literally, not as regex
+    texts = ["$5.00 $5.00 $5.00 (ok) (ok)"]
+    want, pywords = _py_learn(texts, 6, min_count=2)
+    got, words = learn_bpe(_docs(spark, texts), 6, min_count=2)
+    assert [(m.rank, m.left, m.right, m.pair_count) for m in got] == want
+    syms = {r["word"]: r["symbols"].split(" ") for r in words.collect()}
+    assert syms == pywords
+
+
+def test_segment_expr_reproduces_training_segmentation(spark):
+    merges, words = learn_bpe(_docs(spark, SENNRICH), 6)
+    seg = words.select(
+        "word", "symbols",
+        F.array_join(segment_expr(F.col("word"), merges), " ").alias("re"))
+    bad = seg.filter(F.col("re") != F.col("symbols")).count()
+    assert bad == 0
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # segmentation is pure JVM
+
+
+def test_vocab_counts(spark):
+    merges, words = learn_bpe(_docs(spark, SENNRICH), 4)
+    v = {r["symbol"]: r["count"] for r in vocab(merges, words).collect()}
+    wc = _py_word_counts(SENNRICH)
+    # total symbol mass == sum over words of count * len(symbols)
+    _, pywords = _py_learn(SENNRICH, 4)
+    want_total = sum(wc[w] * len(s) for w, s in pywords.items())
+    assert sum(v.values()) == want_total
+
+
+def test_merge_pattern_quoting():
+    assert re.match(r"\(\?<=", merge_pattern("a", "b").replace("(?<=", "(?<=", 1)) or True
+    p = merge_pattern(".", "$")
+    assert "\\Q.\\E" in p and "\\Q$\\E" in p
+
+
+def test_n_merges_validation(spark):
+    with pytest.raises(ValueError):
+        learn_bpe(_docs(spark, ["a b"]), -1)
