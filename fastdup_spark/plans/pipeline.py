@@ -1056,6 +1056,17 @@ class FastdupSpark:
         scored = score_perplexity(self.docs().select("doc_id", "text"), lm)
         return self.docs().select("doc_id", "url").join(scored, "doc_id")
 
+    def learn_bpe(self, n_merges: int, min_count: int = 2):
+        """Train a BPE subword vocabulary on the corpus
+        (operators/bpe.py — Sennrich et al. 2016 as a Spark job: one
+        corpus pass builds the word table, merge steps iterate it).
+        Returns (merges, words); feed merges to
+        operators.bpe.segment_expr to tokenize new text map-side."""
+        from fastdup_spark.operators.bpe import learn_bpe as _learn
+
+        return _learn(self.docs().select("text"), n_merges,
+                      min_count=min_count)
+
     def remove_spans(self, k: int = 50, min_docs: int = 2,
                      max_drop_frac: float = 0.3) -> DataFrame:
         """ExactSubstr-style rewrite of the corpus (operators/exactsubstr.py

@@ -312,3 +312,15 @@ def test_pack_api(fd):
         fills[(r["shard"], r["bin"])][0] += r["n_tokens"]
         fills[(r["shard"], r["bin"])][1] |= r["oversize"]
     assert all(f <= 512 or over for f, over in fills.values())
+
+
+def test_learn_bpe_api(fd):
+    from fastdup_spark.operators.bpe import segment_expr
+    merges, words = fd.learn_bpe(5)
+    assert 0 < len(merges) <= 5
+    assert merges[0].pair_count >= merges[-1].pair_count
+    # learned table re-applies cleanly to the training words
+    seg = words.select(
+        "symbols",
+        F.array_join(segment_expr(F.col("word"), merges), " ").alias("re"))
+    assert seg.filter("re != symbols").count() == 0
