@@ -1335,6 +1335,21 @@ def q_lm_perplexity(spark, sf):
     return score_perplexity(d.select("doc_id", "text"), lm)
 
 
+def q_dsir_selection(spark, sf):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): target
+    LM on the doc_id % 7 == 0 slice, raw LM on the whole corpus (both
+    vocab-capped at 500 so the OOV path fires), every doc weighted by
+    the integer micro-nat log-likelihood ratio, top-100 head-cut with
+    the md5 tie-break. DuckDB replays both LM fits, the per-token ratio
+    sum and the ranked cut verbatim."""
+    from fastdup_spark.operators.dsir import dsir_select, fit_dsir
+
+    d = _t(spark, sf, "documents")
+    t_lm, r_lm = fit_dsir(d.filter(F.col("doc_id") % 7 == 0), d,
+                          vocab_size=500)
+    return dsir_select(d.select("doc_id", "text"), t_lm, r_lm, n=100)
+
+
 # Dolma-style Bloom history dedup (operators/bloom.py): the oracle replays
 # the bitmap's verdict as pure set logic over a dump of the per-doc probe
 # positions (JVM xxhash64 DuckDB can't compute) — maybe_seen iff ALL k
@@ -1528,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_removal": q_exact_substring_removal,
         # next-fit training-bin packing (recursive-CTE oracle)
         "sequence_packing": q_sequence_packing,
+        # DSIR data selection (two-LM importance ratio, ranked head-cut)
+        "dsir_selection": q_dsir_selection,
     }
 
 
@@ -3082,6 +3099,80 @@ def oracle_sql() -> dict[str, str]:
                                / per.n_tokens), 2)
                    END AS ppl
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # DSIR: both unigram fits (micro-nat contract, identical to the
+        # lm_perplexity replay), the per-token log-ratio sum, and the
+        # ranked top-100 cut with the md5 tie-break
+        "dsir_selection": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(trim(regexp_replace(
+                         lower(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS token
+              FROM documents
+            ),
+            tc AS (
+              SELECT token, count(*) AS cnt FROM tok
+              WHERE doc_id % 7 = 0 GROUP BY token
+            ),
+            tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+            tvocab AS (
+              SELECT token, cnt FROM tc
+              ORDER BY cnt DESC, token ASC LIMIT 500
+            ),
+            tlp AS (
+              SELECT v.token,
+                     CAST(round(ln(v.cnt / (t.t + 1)) * 1000000, 0)
+                          AS BIGINT) AS lpm
+              FROM tvocab v, tt t
+            ),
+            toov AS (
+              SELECT CAST(round(ln(
+                       (t.t - (SELECT CAST(sum(cnt) AS BIGINT) FROM tvocab)
+                        + 1) / (t.t + 1)) * 1000000, 0) AS BIGINT) AS lpm
+              FROM tt t
+            ),
+            rc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            rt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM rc),
+            rvocab AS (
+              SELECT token, cnt FROM rc
+              ORDER BY cnt DESC, token ASC LIMIT 500
+            ),
+            rlp AS (
+              SELECT v.token,
+                     CAST(round(ln(v.cnt / (t.t + 1)) * 1000000, 0)
+                          AS BIGINT) AS lpm
+              FROM rvocab v, rt t
+            ),
+            roov AS (
+              SELECT CAST(round(ln(
+                       (t.t - (SELECT CAST(sum(cnt) AS BIGINT) FROM rvocab)
+                        + 1) / (t.t + 1)) * 1000000, 0) AS BIGINT) AS lpm
+              FROM rt t
+            ),
+            per AS (
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     CAST(sum(coalesce(tlp.lpm, (SELECT lpm FROM toov))
+                            - coalesce(rlp.lpm, (SELECT lpm FROM roov)))
+                          AS BIGINT) AS score_micro
+              FROM tok
+              LEFT JOIN tlp ON tok.token = tlp.token
+              LEFT JOIN rlp ON tok.token = rlp.token
+              GROUP BY tok.doc_id
+            ),
+            allsc AS (
+              SELECT d.doc_id,
+                     coalesce(per.n_tokens, 0) AS n_tokens,
+                     coalesce(per.score_micro, 0) AS score_micro,
+                     md5(CAST(d.doc_id AS VARCHAR)) AS tie
+              FROM documents d LEFT JOIN per USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, score_micro,
+                   CAST(row_number() OVER (ORDER BY score_micro DESC, tie)
+                        AS BIGINT) AS rank
+            FROM allsc
+            ORDER BY score_micro DESC, tie LIMIT 100
         """,
         # Bloom novelty: pure set replay over the dumped probe positions —
         # maybe_seen iff EVERY one of the doc's k positions was inserted by
