@@ -1056,6 +1056,26 @@ class FastdupSpark:
         scored = score_perplexity(self.docs().select("doc_id", "text"), lm)
         return self.docs().select("doc_id", "url").join(scored, "doc_id")
 
+    def dsir(self, target: DataFrame, n: int, vocab_size: int = 65_536,
+             resample_salt: str | None = None,
+             text_col: str = "text") -> DataFrame:
+        """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+        the n docs of THIS corpus most like ``target`` (a DataFrame
+        with a ``text_col`` column) by two-LM importance weight.
+        Deterministic ranked head-cut by default; pass
+        ``resample_salt`` for the paper's Gumbel-top-k importance
+        resampling instead. Returns scored rows joined with url."""
+        from fastdup_spark.operators.dsir import (
+            dsir_resample, dsir_select, fit_dsir)
+
+        t_lm, r_lm = fit_dsir(
+            target.select(F.col(text_col).alias("text")),
+            self.docs().select("text"), vocab_size=vocab_size)
+        d = self.docs().select("doc_id", "text")
+        sel = (dsir_select(d, t_lm, r_lm, n) if resample_salt is None
+               else dsir_resample(d, t_lm, r_lm, n, salt=resample_salt))
+        return sel.join(self.docs().select("doc_id", "url"), "doc_id")
+
     def learn_bpe(self, n_merges: int, min_count: int = 2):
         """Train a BPE subword vocabulary on the corpus
         (operators/bpe.py — Sennrich et al. 2016 as a Spark job: one

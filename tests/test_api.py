@@ -324,3 +324,15 @@ def test_learn_bpe_api(fd):
         "symbols",
         F.array_join(segment_expr(F.col("word"), merges), " ").alias("re"))
     assert seg.filter("re != symbols").count() == 0
+
+
+def test_dsir_api(fd, spark):
+    # target = a slice of the corpus itself: its docs must rank on top
+    target = fd.docs().filter("doc_id % 11 = 0").select("text")
+    out = fd.dsir(target, n=20)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {"doc_id", "url", "score_micro", "rank"} <= {c for c in out.columns}
+    # resampling mode returns gumbel keys instead of ranks
+    rs = fd.dsir(target, n=10, resample_salt="s1")
+    assert rs.count() == 10 and "gumbel_key" in rs.columns
