@@ -1420,6 +1420,53 @@ def q_bloom_paragraph_scrub(spark, sf):
     return paragraph_bloom_scrub(dirty, model)
 
 
+_BLOOM_SPAN_DUMP = os.path.join(_dump_dir(), "bloom_span_positions.parquet")
+
+
+def q_bloom_span_scrub(spark, sf):
+    """ExactSubstr-vs-HISTORY (operators/bloom.py span_bloom_scrub):
+    Dolma's Bloom trick at Lee et al. span granularity — history-seen
+    >=8-token runs erased from every doc without joining the history.
+    Plant: each even doc contributes its first-30-token prefix + a
+    unique tail; its odd partner carries the SAME prefix shifted by two
+    pad tokens. History = even docs, so redelivered even docs scrub to
+    empty and odd docs lose exactly the shifted shared run. DuckDB
+    replays the verdicts as set logic over the dumped window-probe
+    positions, then re-derives span merge, coverage, reassembly and the
+    kill rule from the rebuilt text."""
+    from fastdup_spark.operators.bloom import (
+        _kgram_hashes, build_kgram_bloom, positions_expr, span_bloom_scrub,
+    )
+
+    d = _t(spark, sf, "documents")
+    w0 = _tokens(F.col("text"))
+    ev = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.concat_ws(" ", F.slice(w0, 1, 30)).alias("pref"))
+    even_dirty = ev.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("pref"),
+                    F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                    ).alias("text"))
+    odd_ids = d.select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    odd_dirty = (
+        ev.select((F.col("doc_id") + 1).alias("doc_id"), "pref")
+        .join(odd_ids, "doc_id")
+        .select("doc_id",
+                F.concat_ws(" ", F.lit("pad1 pad2"), F.col("pref"),
+                            F.concat(F.lit("u"),
+                                     F.col("doc_id").cast("string"))
+                            ).alias("text")))
+    dirty = even_dirty.unionByName(odd_dirty)
+    hist = dirty.filter(F.col("doc_id") % 2 == 0)
+    model = build_kgram_bloom(hist, k=8, fpp=0.01)
+    (_kgram_hashes(dirty, 8, "text", "doc_id")
+     .select("doc_id", "start",
+             F.explode(positions_expr("gk", model.n_bits,
+                                      model.n_hashes)).alias("p"))
+     .write.mode("overwrite").parquet(_BLOOM_SPAN_DUMP))
+    return span_bloom_scrub(dirty, model, k=8)
+
+
 # UniMax mixing (operators/mixing.py): the integer water-fill allocation is
 # pytest-gold-covered; the dump carries (lang, rate_ppm) so DuckDB re-derives
 # the identical 8-hex keep threshold with pure integer arithmetic and
@@ -1545,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         # DSIR data selection (two-LM importance ratio, ranked head-cut)
         "dsir_selection": q_dsir_selection,
+        # ExactSubstr vs history via Bloom (span-granularity Dolma trick)
+        "bloom_span_scrub": q_bloom_span_scrub,
     }
 
 
@@ -3173,6 +3222,81 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM allsc
             ORDER BY score_micro DESC, tie LIMIT 100
+        """,
+        # span-mode Bloom scrub: verdicts = set logic over the dumped
+        # window-probe positions (seen iff ALL k positions were inserted
+        # by the even-doc history half), then the FULL ExactSubstr tail
+        # replays from the rebuilt text: span merge, coverage, ordered
+        # reassembly, integer-exact kill rule
+        "bloom_span_scrub": f"""
+            WITH pos AS (SELECT doc_id, start, p
+                         FROM read_parquet('{_BLOOM_SPAN_DUMP}/*.parquet')),
+            ins AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+            st AS (
+              SELECT doc_id, start FROM (
+                SELECT pos.doc_id, pos.start,
+                       count(*) = count(ins.p) AS s
+                FROM pos LEFT JOIN ins ON pos.p = ins.p
+                GROUP BY pos.doc_id, pos.start)
+              WHERE s
+            ),
+            base AS (SELECT doc_id, {tok} AS w0 FROM documents),
+            ev AS (
+              SELECT doc_id, array_to_string(w0[1:30], ' ') AS pref
+              FROM base WHERE doc_id % 2 = 0
+            ),
+            dirty AS (
+              SELECT doc_id,
+                     pref || ' u' || CAST(doc_id AS VARCHAR) AS text
+              FROM ev
+              UNION ALL
+              SELECT e.doc_id + 1 AS doc_id,
+                     'pad1 pad2 ' || e.pref || ' u'
+                       || CAST(e.doc_id + 1 AS VARCHAR) AS text
+              FROM ev e JOIN documents o ON o.doc_id = e.doc_id + 1
+            ),
+            toks AS (SELECT doc_id, {tok} AS w FROM dirty),
+            spans AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN prev IS NULL OR start > prev + 7
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM st)
+              GROUP BY doc_id
+            ),
+            dropped AS (
+              SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS idx
+              FROM st
+            ),
+            tk AS (
+              SELECT doc_id, i AS idx, w[i] AS tok
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, len(w) + 1)) AS i FROM toks)
+              WHERE w[i] <> ''
+            ),
+            per AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN d.idx IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dropped,
+                     string_agg(CASE WHEN d.idx IS NULL THEN t.tok END,
+                                ' ' ORDER BY t.idx) AS clean_text
+              FROM tk t
+              LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.idx = d.idx
+              GROUP BY t.doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(p.clean_text, '') AS clean_text,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.n_dropped, 0) AS n_dropped,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   coalesce(p.n_dropped, 0) * 10
+                     <= coalesce(p.n_tokens, 0) * 3 AS kept
+            FROM (SELECT doc_id FROM dirty) b
+            LEFT JOIN per p ON b.doc_id = p.doc_id
+            LEFT JOIN spans s ON b.doc_id = s.doc_id
         """,
         # Bloom novelty: pure set replay over the dumped probe positions —
         # maybe_seen iff EVERY one of the doc's k positions was inserted by

@@ -241,3 +241,76 @@ def paragraph_bloom_scrub(df: DataFrame, model: BloomFilterModel,
                 F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
                 F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"))
     )
+
+
+# --------------------------------------------------------------------------
+# span mode: ExactSubstr against a compressed history (no join)
+# --------------------------------------------------------------------------
+
+def _kgram_hashes(df: DataFrame, k: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(doc_id, start, gk): every overlapping k-token window hash — the
+    exactsubstr fast path (JVM token xxhash64 + numpy rolling combine,
+    fused with the explode in one mapInPandas). Numeric ids required."""
+    from ..functions.signatures import token_hashes_expr
+    from .exactsubstr import _tokens as _es_tokens
+    from .exactsubstr import make_window_hash_mapper
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_hashes_expr(_es_tokens(F.col(text_col))).alias("th"),
+    ).mapInPandas(make_window_hash_mapper(k),
+                  "doc_id long, start int, gk long")
+
+
+def build_kgram_bloom(df: DataFrame, k: int = 50, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_bits: int | None = None,
+                      n_hashes: int | None = None,
+                      n_keys_hint: int | None = None,
+                      fpp: float = 0.01) -> BloomFilterModel:
+    """Compress a history corpus's k-token WINDOW set into a Bloom
+    bitmap — the index `span_bloom_scrub` probes. Sizing defaults to
+    `bloom_params` over the window count (estimated with one cheap
+    expression aggregate — the windows themselves are never counted by
+    materializing them twice)."""
+    if n_bits is None or n_hashes is None:
+        if n_keys_hint is None:
+            from .exactsubstr import _tokens as _es_tokens
+            n_win = F.greatest(
+                F.lit(0),
+                F.size(_es_tokens(F.col(text_col))) - (k - 1))
+            n_keys_hint = int(
+                df.agg(F.sum(n_win.cast("long"))).first()[0] or 0)
+        auto_bits, auto_hashes = bloom_params(max(n_keys_hint, 1), fpp)
+        n_bits = n_bits if n_bits is not None else auto_bits
+        n_hashes = n_hashes if n_hashes is not None else auto_hashes
+    pos = _kgram_hashes(df, k, text_col, id_col).select(
+        F.explode(positions_expr("gk", n_bits, n_hashes)).alias("p"))
+    bits, n_set = assemble_bitmap(pos, n_bits)
+    return BloomFilterModel(bits=bits, n_bits=n_bits,
+                            n_hashes=n_hashes, n_set=n_set)
+
+
+def span_bloom_scrub(df: DataFrame, model: BloomFilterModel, k: int = 50,
+                     max_drop_frac: float = 0.3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REWRITE each incoming document with history-seen >=k-token runs
+    erased — ExactSubstr (operators/exactsubstr.py) where the duplicate
+    decision comes from a compressed HISTORY instead of a corpus
+    self-join: Dolma's Bloom trick at Lee et al.'s span granularity.
+    The history is never joined; the probe is one map-side vectorized
+    bitmap gather over the window hashes. A window whose hash was
+    inserted is ALWAYS erased (no false negatives); ~fpp of genuinely
+    novel windows are collateral (the standard trade — each erases at
+    most k tokens). Span merge, doc-local rebuild and the integer-exact
+    kill rule are shared with remove_duplicated_spans; output schema
+    matches it: (doc_id, clean_text, n_tokens, n_dropped, n_spans,
+    kept)."""
+    from .exactsubstr import rewrite_without_spans
+
+    g = _kgram_hashes(df, k, text_col, id_col)
+    flagged = probe_bloom(g, model, key_col="gk", flag_col="seen")
+    starts = flagged.filter(F.col("seen")).select("doc_id", "start")
+    return rewrite_without_spans(df, starts, k, max_drop_frac,
+                                 id_col, text_col)

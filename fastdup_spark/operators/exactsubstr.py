@@ -241,10 +241,23 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
     DuckDB driver oracle replays end-to-end. Identical decisions up to
     ~2^-64 hash collisions.
     """
+    starts = _flagged_starts(docs, k, min_docs, id_col, text_col, hash_mode)
+    return rewrite_without_spans(docs, starts, k, max_drop_frac,
+                                 id_col, text_col)
+
+
+def rewrite_without_spans(docs: DataFrame, starts: DataFrame, k: int,
+                          max_drop_frac: float = 0.3,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Erase the k-token windows named by ``starts`` (doc_id, start)
+    from the corpus: span merge + doc-local rebuild + the kill rule —
+    the shared tail of remove_duplicated_spans, also driven by the
+    history-Bloom scrub (operators/bloom.py::span_bloom_scrub), which
+    supplies starts flagged against a compressed history instead of a
+    corpus self-window. Output schema matches remove_duplicated_spans."""
     frac = Fraction(max_drop_frac).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
-
-    starts = _flagged_starts(docs, k, min_docs, id_col, text_col, hash_mode)
     spans = merged_spans(starts, k)
 
     toks = _tokens(F.col(text_col))

@@ -159,3 +159,79 @@ def test_paragraph_scrub_no_false_negatives(spark, history):
     out = paragraph_bloom_scrub(history, model)
     assert out.filter(F.col("clean_text") != "").count() == 0
     assert out.count() == history.count()
+
+
+# --------------------------------------------------------------------------
+# span mode (ExactSubstr vs history, no join)
+# --------------------------------------------------------------------------
+
+def _span_corpus(spark):
+    hist = spark.createDataFrame(
+        [(1, "h1 h2 h3 h4 h5 h6 filler one"),
+         (2, "other words q1 q2 q3 q4 trail here")],
+        "doc_id bigint, text string")
+    incoming = spark.createDataFrame(
+        [(10, "x y h1 h2 h3 h4 h5 h6 z"),        # history run, shifted
+         (11, "q1 q2 q3 q4 standalone novel words"),
+         (12, "totally novel text with nothing shared"),
+         (13, "h1 h2 h3 short")],                 # run shorter than k
+        "doc_id bigint, text string")
+    return hist, incoming
+
+
+def test_span_scrub_erases_history_runs_at_any_offset(spark):
+    from fastdup_spark.operators.bloom import (
+        build_kgram_bloom, span_bloom_scrub)
+    hist, incoming = _span_corpus(spark)
+    model = build_kgram_bloom(hist, k=4, fpp=1e-6)
+    out = {r["doc_id"]: r
+           for r in span_bloom_scrub(incoming, model, k=4).collect()}
+    assert out[10]["clean_text"] == "x y z"      # shifted run erased
+    assert out[10]["n_spans"] == 1 and out[10]["n_dropped"] == 6
+    assert out[11]["n_dropped"] == 4             # q-run seen in history
+    assert "standalone novel words" in out[11]["clean_text"]
+    assert out[12]["n_dropped"] == 0             # novel doc untouched
+    assert out[13]["n_dropped"] == 0             # < k run invisible
+    assert set(out) == {10, 11, 12, 13}
+
+
+def test_span_scrub_no_false_negatives_law(spark):
+    # EVERY window of a doc that is itself in the history must flag:
+    # redelivering a history doc yields an empty rewrite (if long enough)
+    from fastdup_spark.operators.bloom import (
+        build_kgram_bloom, span_bloom_scrub)
+    hist, _ = _span_corpus(spark)
+    model = build_kgram_bloom(hist, k=4, fpp=0.25)  # even a sloppy fpp
+    out = {r["doc_id"]: r
+           for r in span_bloom_scrub(hist, model, k=4).collect()}
+    for i, r in out.items():
+        assert r["clean_text"] == "", i
+        assert not r["kept"], i
+
+
+def test_span_scrub_matches_exactsubstr_on_union(spark):
+    # with a tight fpp, scrubbing incoming against history ==
+    # remove_duplicated_spans over the union, restricted to incoming,
+    # for runs shared ONLY across the history boundary
+    from fastdup_spark.operators.bloom import (
+        build_kgram_bloom, span_bloom_scrub)
+    from fastdup_spark.operators.exactsubstr import remove_duplicated_spans
+    hist, incoming = _span_corpus(spark)
+    model = build_kgram_bloom(hist, k=4, fpp=1e-9)
+    got = {r["doc_id"]: (r["clean_text"], r["n_dropped"], r["n_spans"])
+           for r in span_bloom_scrub(incoming, model, k=4).collect()}
+    want = {r["doc_id"]: (r["clean_text"], r["n_dropped"], r["n_spans"])
+            for r in remove_duplicated_spans(
+                hist.unionByName(incoming), k=4).collect()
+            if r["doc_id"] >= 10}
+    assert got == want
+
+
+def test_kgram_bloom_autosizing_counts_windows(spark):
+    from fastdup_spark.operators.bloom import bloom_params, build_kgram_bloom
+    hist, _ = _span_corpus(spark)
+    model = build_kgram_bloom(hist, k=4, fpp=0.01)
+    # doc1: 8 tokens -> 5 windows; doc2: 8 tokens -> 5 windows
+    want_bits, want_hashes = bloom_params(10, 0.01)
+    assert (model.n_bits, model.n_hashes) == (want_bits, want_hashes)
+    assert model.n_set > 0
