@@ -47,6 +47,22 @@ def keep_first_policy(assignments: DataFrame,
     return assignments.withColumn("keep", F.row_number().over(w) == 1)
 
 
+def keep_best_policy(assignments_with_score: DataFrame,
+                     score_col: str) -> DataFrame:
+    """One survivor per component: the member with the MAX score_col
+    (ties -> min doc_id, so the cut is total and partitioning-free).
+    The production-pipeline policy ("keep the longest / highest-quality
+    copy" — CCNet keeps first, RefinedWeb random, many LLM pipelines
+    keep longest); keep_first_policy is the min-id special case.
+
+    Input: (doc_id, component_id, <score_col>). Output adds keep BOOLEAN.
+    """
+    w = Window.partitionBy("component_id") \
+        .orderBy(F.desc(score_col), F.asc("doc_id"))
+    return assignments_with_score.withColumn(
+        "keep", F.row_number().over(w) == 1)
+
+
 def majority_label_policy(assignments_with_label: DataFrame) -> DataFrame:
     """W5: per component, if the dominant label covers ≥ half the members keep
     exactly one doc of that label (min doc_id), else drop all members.
@@ -79,14 +95,23 @@ def majority_label_policy(assignments_with_label: DataFrame) -> DataFrame:
         "doc_id", "component_id", "label", "keep")
 
 
-def duplicates_to_drop(assignments: DataFrame, min_size: int = 2) -> DataFrame:
-    """`remove_duplicates` decision table: non-survivors of components ≥ min_size."""
+def duplicates_to_drop(assignments: DataFrame, min_size: int = 2,
+                       scores: DataFrame | None = None) -> DataFrame:
+    """`remove_duplicates` decision table: non-survivors of components
+    ≥ min_size. Default survivor = min doc_id; pass ``scores`` (doc_id,
+    score) to keep the best-scoring member instead (keep_best_policy —
+    e.g. text length for the keep-longest production policy; docs
+    missing from ``scores`` compete with score NULL, ranked last)."""
     sized = assignments.join(
         assignments.groupBy("component_id").agg(F.count("*").alias("comp_size")),
         "component_id",
     ).filter(F.col("comp_size") >= min_size)
-    return (
-        keep_first_policy(sized.select("doc_id", "component_id"))
-        .filter(~F.col("keep"))
-        .select("doc_id", "component_id")
-    )
+    members = sized.select("doc_id", "component_id")
+    if scores is None:
+        decided = keep_first_policy(members)
+    else:
+        decided = keep_best_policy(
+            members.join(scores.select("doc_id", "score"), "doc_id",
+                         "left"),
+            "score")
+    return decided.filter(~F.col("keep")).select("doc_id", "component_id")

@@ -637,23 +637,38 @@ class FastdupSpark:
             .agg(F.max("jaccard").alias("max_jaccard"), F.count("*").alias("n_edges"))
         )
 
-    def duplicates(self) -> DataFrame:
+    def duplicates(self, keep: str = "min_id") -> DataFrame:
         """≈ remove_duplicates/delete_components decision table (W4):
-        non-survivor docs of every component ≥ 2, keep-min-doc_id policy."""
+        non-survivor docs of every component ≥ 2. ``keep`` picks the
+        survivor: "min_id" (reference-faithful default) or "longest"
+        (keep the member with the most extracted characters — the
+        common LLM-pipeline policy; ties -> min doc_id)."""
         asg = self.store.read(self.spark, "assignments")
-        return duplicates_to_drop(asg).join(
+        scores = self._keep_scores(keep)
+        return duplicates_to_drop(asg, scores=scores).join(
             self.docs().select("doc_id", "url"), "doc_id")
 
-    def write_deduped(self, path: str, fmt: str = "parquet") -> dict:
+    def _keep_scores(self, keep: str):
+        if keep == "min_id":
+            return None
+        if keep == "longest":
+            return self.docs().select(
+                "doc_id", F.length("text").alias("score"))
+        raise ValueError(
+            f"keep must be 'min_id' or 'longest', got {keep!r}")
+
+    def write_deduped(self, path: str, fmt: str = "parquet",
+                      keep: str = "min_id") -> dict:
         """≈ delete_components / remove duplicates run to completion
         (/root/reference/fastdup/fastdup_controller.py delete_components;
         the reference deletes image files in place): materialize the
         CLEANED corpus — valid docs minus every non-survivor of a ≥2
-        component (keep-min-doc_id policy, same decision table as
-        `duplicates()`) — to a new table instead of mutating the input
-        (immutable-lake semantics). Returns {kept, dropped}."""
+        component (same decision table as `duplicates()`; ``keep``
+        picks the survivor policy) — to a new table instead of mutating
+        the input (immutable-lake semantics). Returns {kept, dropped}."""
         drops = duplicates_to_drop(
-            self.store.read(self.spark, "assignments")).select("doc_id")
+            self.store.read(self.spark, "assignments"),
+            scores=self._keep_scores(keep)).select("doc_id")
         out = self.docs().join(drops, "doc_id", "left_anti")
         out.write.mode("overwrite").format(fmt).save(path)
         info = self.store.read(self.spark, "component_info")

@@ -2,6 +2,7 @@
 components_grouped()/doc_stats()/summary()/duplicates()/search()
 mirror SURVEY §2 semantics (A1, A8, F3, T3, W1, W4, J1, J11)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -336,3 +337,32 @@ def test_dsir_api(fd, spark):
     # resampling mode returns gumbel keys instead of ranks
     rs = fd.dsir(target, n=10, resample_salt="s1")
     assert rs.count() == 10 and "gumbel_key" in rs.columns
+
+
+def test_keep_longest_policy(fd, spark):
+    from fastdup_spark.operators.dedup import keep_best_policy
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 9), (3, 10, 9), (4, 20, 1)],
+        "doc_id bigint, component_id bigint, score int")
+    kept = {r["doc_id"] for r in keep_best_policy(df, "score")
+            .filter("keep").collect()}
+    assert kept == {2, 4}  # max score wins, tie -> min doc_id
+
+    # engine path: keep="longest" keeps the longest member per cluster
+    drops = fd.duplicates(keep="longest")
+    asg = fd.components()
+    lens = {r["doc_id"]: r["n"] for r in
+            fd.docs().select("doc_id", F.length("text").alias("n")).collect()}
+    comp = {}
+    for r in asg.collect():
+        comp.setdefault(r["component_id"], []).append(r["doc_id"])
+    dropped = {r["doc_id"] for r in drops.collect()}
+    for cid, members in comp.items():
+        if len(members) < 2:
+            continue
+        survivor = [d for d in members if d not in dropped]
+        assert len(survivor) == 1
+        best = max(members, key=lambda d: (lens.get(d, -1), -d))
+        assert survivor[0] == best, cid
+    with pytest.raises(ValueError):
+        fd.duplicates(keep="nope")
