@@ -3394,9 +3394,13 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ),
             lines AS (
+              -- blank slots excluded like the engine's doc_lines (a
+              -- whitespace-only doc yields a '' tail line here; counting
+              -- it would diverge on n_lines/dup-set/clean_text)
               SELECT doc_id, i AS idx, ls[i] AS line
               FROM (SELECT doc_id, ls,
                            unnest(range(1, len(ls) + 1)) AS i FROM lined)
+              WHERE ls[i] <> ''
             ),
             dup AS (
               SELECT md5(line) AS lk FROM lines

@@ -47,6 +47,24 @@ from pyspark.sql import functions as F
 _BLOCK_BITS = 1 << 23
 
 
+def resolve_bloom_shape(n_bits: int | None, n_hashes: int | None,
+                        n_keys: int, fpp: float) -> tuple[int, int]:
+    """Fill in the missing half of (n_bits, n_hashes). A caller-pinned
+    n_bits gets the k OPTIMAL FOR THAT BITMAP (m/n*ln2), never the k
+    sized for the fpp-auto bitmap — pairing a small user bitmap with a
+    large-bitmap k multiplies the realized false-positive rate."""
+    import math as _math
+
+    if n_bits is None:
+        auto_bits, auto_hashes = bloom_params(n_keys, fpp)
+        return auto_bits, (n_hashes if n_hashes is not None
+                           else auto_hashes)
+    if n_hashes is None:
+        n_hashes = max(1, int(round(n_bits / max(n_keys, 1)
+                                    * _math.log(2))))
+    return n_bits, n_hashes
+
+
 def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """Textbook sizing: m = ceil(-n·ln p / ln²2), k = round(m/n·ln 2)."""
     if n_keys < 1:
@@ -126,9 +144,8 @@ def build_bloom(df: DataFrame, key_col: str = "text",
     if n_bits is None or n_hashes is None:
         n = n_keys_hint if n_keys_hint is not None \
             else df.filter(F.col(key_col).isNotNull()).count()
-        auto_bits, auto_hashes = bloom_params(max(int(n), 1), fpp)
-        n_bits = n_bits if n_bits is not None else auto_bits
-        n_hashes = n_hashes if n_hashes is not None else auto_hashes
+        n_bits, n_hashes = resolve_bloom_shape(n_bits, n_hashes,
+                                               max(int(n), 1), fpp)
 
     pos = (
         df.filter(F.col(key_col).isNotNull())
@@ -254,8 +271,9 @@ def _kgram_hashes(df: DataFrame, k: int, text_col: str,
     fused with the explode in one mapInPandas). Numeric ids required."""
     from ..functions.signatures import token_hashes_expr
     from .exactsubstr import _tokens as _es_tokens
-    from .exactsubstr import make_window_hash_mapper
+    from .exactsubstr import make_window_hash_mapper, require_numeric_id
 
+    require_numeric_id(df, id_col, "k-gram window hashing")
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         token_hashes_expr(_es_tokens(F.col(text_col))).alias("th"),
@@ -282,9 +300,8 @@ def build_kgram_bloom(df: DataFrame, k: int = 50, text_col: str = "text",
                 F.size(_es_tokens(F.col(text_col))) - (k - 1))
             n_keys_hint = int(
                 df.agg(F.sum(n_win.cast("long"))).first()[0] or 0)
-        auto_bits, auto_hashes = bloom_params(max(n_keys_hint, 1), fpp)
-        n_bits = n_bits if n_bits is not None else auto_bits
-        n_hashes = n_hashes if n_hashes is not None else auto_hashes
+        n_bits, n_hashes = resolve_bloom_shape(n_bits, n_hashes,
+                                               max(n_keys_hint, 1), fpp)
     pos = _kgram_hashes(df, k, text_col, id_col).select(
         F.explode(positions_expr("gk", n_bits, n_hashes)).alias("p"))
     bits, n_set = assemble_bitmap(pos, n_bits)

@@ -17,6 +17,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cross_doc_duplicated(df: DataFrame, key_col: str,
+                         min_docs: int = 2,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Rows whose ``key_col`` value appears in >= ``min_docs`` DISTINCT
+    docs — THE shared flag pass of every rewrite-dedup operator
+    (lines/passages/exactsubstr); never fork a copy (the NULL-key and
+    collision lessons must land in one place).
+
+    Default min_docs=2 is one window shuffle on the key (min(doc_id) !=
+    max(doc_id) — exactly ">= 2 distinct docs" with no per-key set even
+    for a boilerplate key in millions of docs); generic min_docs is a
+    count-distinct aggregate + semi join. NULL keys are never flagged
+    (Spark pools NULLs into one window partition — the round-6
+    NULL-key-window lesson)."""
+    keyed = df.filter(F.col(key_col).isNotNull())
+    if min_docs == 2:
+        wk = Window.partitionBy(key_col)
+        return (
+            keyed.withColumn(
+                "__dup",
+                F.min(id_col).over(wk) != F.max(id_col).over(wk))
+            .filter(F.col("__dup")).drop("__dup"))
+    dup = (
+        keyed.groupBy(key_col)
+        .agg(F.count_distinct(id_col).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select(key_col)
+    )
+    return keyed.join(dup, key_col, "left_semi")
+
+
+def integer_fraction(frac: float) -> tuple[int, int]:
+    """(num, den) for integer-exact '<= frac' comparisons (the kill-rule
+    contract: dropped * den <= num * total, never floats)."""
+    from fractions import Fraction
+
+    f = Fraction(frac).limit_denominator(10**6)
+    return f.numerator, f.denominator
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash (distributed groupBy, no pairs).

@@ -62,7 +62,6 @@ collisions (~2^-64/pair; parity-tested).
 
 from __future__ import annotations
 
-from fractions import Fraction
 from typing import Iterator
 
 import numpy as np
@@ -149,6 +148,23 @@ def make_window_hash_mapper(k: int, seed: int = _ESUB_SEED):
     return _wh
 
 
+def require_numeric_id(df: DataFrame, id_col: str, ctx: str) -> None:
+    """The fused Arrow fast paths ship ids as int64 — a string id would
+    either crash the ANSI cast or, worse, silently collapse distinct ids
+    that normalize to the same long ('0012' vs '12'), merging docs.
+    Raise early with guidance instead."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{ctx} requires an integer id column; {id_col!r} is "
+            f"{dt.simpleString()}. Pre-hash string ids (e.g. "
+            f"F.xxhash64({id_col!r})) or use hash_mode='oracle' where "
+            f"available.")
+
+
 def _flagged_starts(docs: DataFrame, k: int, min_docs: int, id_col: str,
                     text_col: str, hash_mode: str) -> DataFrame:
     """(doc_id, start) of every window whose content appears in >=
@@ -159,6 +175,7 @@ def _flagged_starts(docs: DataFrame, k: int, min_docs: int, id_col: str,
     elif hash_mode == "fast":
         from ..functions.signatures import token_hashes_expr
 
+        require_numeric_id(docs, id_col, "hash_mode='fast'")
         g = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             token_hashes_expr(_tokens(F.col(text_col))).alias("th"),
@@ -167,22 +184,10 @@ def _flagged_starts(docs: DataFrame, k: int, min_docs: int, id_col: str,
     else:
         raise ValueError(f"hash_mode must be 'fast' or 'oracle', "
                          f"got {hash_mode!r}")
-    if min_docs == 2:
-        # fast path: ">= 2 distinct docs" == min != max over the hash
-        wgk = Window.partitionBy("gk")
-        flagged = g.withColumn(
-            "is_dup",
-            F.min("doc_id").over(wgk) != F.max("doc_id").over(wgk))
-    else:
-        dup = (
-            g.groupBy("gk")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-            .filter(F.col("n_docs") >= min_docs)
-            .select("gk", F.lit(True).alias("is_dup"))
-        )
-        flagged = g.join(dup, "gk", "left") \
-            .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
-    return flagged.filter(F.col("is_dup")).select("doc_id", "start")
+    from .dedup import cross_doc_duplicated
+
+    return cross_doc_duplicated(g, "gk", min_docs) \
+        .select("doc_id", "start")
 
 
 def merged_spans(starts: DataFrame, k: int) -> DataFrame:
@@ -256,8 +261,9 @@ def rewrite_without_spans(docs: DataFrame, starts: DataFrame, k: int,
     history-Bloom scrub (operators/bloom.py::span_bloom_scrub), which
     supplies starts flagged against a compressed history instead of a
     corpus self-window. Output schema matches remove_duplicated_spans."""
-    frac = Fraction(max_drop_frac).limit_denominator(10**6)
-    num, den = frac.numerator, frac.denominator
+    from .dedup import integer_fraction
+
+    num, den = integer_fraction(max_drop_frac)
     spans = merged_spans(starts, k)
 
     toks = _tokens(F.col(text_col))

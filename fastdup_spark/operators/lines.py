@@ -39,8 +39,6 @@ counts (chars_dropped * denom <= num * chars_total), never floats.
 
 from __future__ import annotations
 
-from fractions import Fraction
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,28 +79,15 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 2,
     comparison; a doc with no non-blank lines is kept with empty text).
     Downstream keeps ``filter(kept)`` docs and trains on clean_text.
     """
-    frac = Fraction(max_drop_frac).limit_denominator(10**6)
-    num, den = frac.numerator, frac.denominator
+    from .dedup import cross_doc_duplicated, integer_fraction
+
+    num, den = integer_fraction(max_drop_frac)
 
     # flag pass: hash-only shuffle (the line text never leaves its doc)
     ln = doc_lines(docs, id_col, text_col) \
         .select("doc_id", "idx", F.xxhash64("line").alias("lk"))
-    if min_docs == 2:
-        # fast path: ">= 2 distinct docs" == min != max over the line hash
-        wlk = Window.partitionBy("lk")
-        dropped = (
-            ln.withColumn(
-                "is_dup",
-                F.min("doc_id").over(wlk) != F.max("doc_id").over(wlk))
-            .filter(F.col("is_dup")).select("doc_id", "idx"))
-    else:
-        dup = (
-            ln.groupBy("lk")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-            .filter(F.col("n_docs") >= min_docs)
-            .select("lk")
-        )
-        dropped = ln.join(dup, "lk", "left_semi").select("doc_id", "idx")
+    dropped = cross_doc_duplicated(ln, "lk", min_docs) \
+        .select("doc_id", "idx")
     per_doc = dropped.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("idx")).alias("didx"))
 

@@ -80,10 +80,16 @@ def pack_sequences(docs: DataFrame, capacity: int, n_shards: int,
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    from .exactsubstr import require_numeric_id
+
+    require_numeric_id(docs, id_col, "pack_sequences")
     n = (F.col(count_col).cast("long") if count_col
          else token_count_expr(text_col))
+    # NULL text / NULL count rows pack as zero-width slots — a NaN
+    # reaching the grouped kernel would kill the whole job
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       n.alias("n_tokens"))
+                       F.coalesce(n, F.lit(0).cast("long"))
+                       .alias("n_tokens"))
     sharded = assign_training_shards(base, n_shards, salt, "doc_id") \
         .select("doc_id", "shard", "pos", "n_tokens")
     cap = int(capacity)

@@ -80,32 +80,14 @@ def remove_repeated_passages(docs: DataFrame, chunk_words: int = 20,
     n_dropped = chunks removed because their hash appeared in >=
     ``min_docs`` distinct docs. Every input doc gets exactly one row.
     """
-    from pyspark.sql import Window
+    from .dedup import cross_doc_duplicated
 
     k = chunk_words
     # flag pass: hash-only shuffle (the chunk text never leaves its doc)
     ch = passage_chunks(docs, k, id_col, text_col) \
         .select("doc_id", "idx", F.xxhash64("passage").alias("pk"))
-    if min_docs == 2:
-        # fast path: "appears in >= 2 distinct docs" == min(doc_id) !=
-        # max(doc_id) over the chunk hash — ONE window shuffle, no
-        # repeated-set join, and no per-key collect_set (a boilerplate
-        # chunk can occur in millions of docs at corpus scale)
-        wpk = Window.partitionBy("pk")
-        dropped = (
-            ch.withColumn(
-                "is_rep",
-                F.min("doc_id").over(wpk) != F.max("doc_id").over(wpk))
-            .filter(F.col("is_rep")).select("doc_id", "idx"))
-    else:
-        repeated = (
-            ch.groupBy("pk")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
-            .filter(F.col("n_docs") >= min_docs)
-            .select("pk")
-        )
-        dropped = ch.join(repeated, "pk", "left_semi") \
-            .select("doc_id", "idx")
+    dropped = cross_doc_duplicated(ch, "pk", min_docs) \
+        .select("doc_id", "idx")
     per_doc = dropped.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("idx")).alias("didx"))
 

@@ -49,14 +49,19 @@ def resolve_n_shards(n_rows: int, target_rows_per_shard: int = 250_000,
 
 
 def assign_training_shards(df: DataFrame, n_shards: int, salt: str = "",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           num_partitions: int | None = None) -> DataFrame:
     """All input columns + (shard int, pos long): a deterministic global
     shuffle expressed as shard assignment + in-shard rank.
 
     Reading shards 0..n-1 each in pos order visits the corpus in one
     fixed pseudorandom permutation of md5-key order; a different salt
     yields an unrelated permutation. pos is 1-based and contiguous per
-    shard. One shuffle (hash on shard) + one per-shard sort.
+    shard. One shuffle (hash on shard) + one per-shard sort;
+    ``num_partitions`` pins the exchange width (an explicit
+    repartition(n, "shard") SATISFIES the rank window's clustering, so
+    a caller that needs shard-aligned output partitions — the writer —
+    pays no second exchange).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -67,6 +72,8 @@ def assign_training_shards(df: DataFrame, n_shards: int, salt: str = "",
         "shard",
         (F.conv(F.substring(F.col("_sk"), 1, 15), 16, 10).cast("long")
          % n_shards).cast("int"))
+    if num_partitions is not None:
+        keyed = keyed.repartition(num_partitions, "shard")
     w = Window.partitionBy("shard").orderBy("_sk", id_col)
     return keyed.withColumn("pos", F.row_number().over(w).cast("long")) \
         .drop("_sk")
@@ -77,9 +84,11 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
                           format: str = "parquet") -> None:
     """Materialize the shuffled corpus as ``path/shard=K/`` directories,
     rows in pos order inside each shard (loaders stream shard files
-    sequentially and rely on on-disk order)."""
-    out = assign_training_shards(df, n_shards, salt, id_col)
-    (out.repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", "pos")
+    sequentially and rely on on-disk order). The corpus (its widest
+    column is the text) crosses exactly ONE exchange: the pre-window
+    repartition on shard doubles as the writer's output partitioning."""
+    out = assign_training_shards(df, n_shards, salt, id_col,
+                                 num_partitions=n_shards)
+    (out.sortWithinPartitions("shard", "pos")
      .write.mode("overwrite").partitionBy("shard").format(format)
      .save(path))

@@ -235,3 +235,20 @@ def test_kgram_bloom_autosizing_counts_windows(spark):
     want_bits, want_hashes = bloom_params(10, 0.01)
     assert (model.n_bits, model.n_hashes) == (want_bits, want_hashes)
     assert model.n_set > 0
+
+
+def test_resolve_bloom_shape_user_bits_get_matched_hashes(spark):
+    import math
+    from fastdup_spark.operators.bloom import bloom_params, resolve_bloom_shape
+    n_keys = 1000
+    # caller pins a SMALL bitmap: k must be optimal for THAT bitmap,
+    # not for the fpp-auto one (round-6 review finding)
+    bits = 4096
+    got_bits, got_k = resolve_bloom_shape(bits, None, n_keys, 0.01)
+    assert got_bits == bits
+    assert got_k == max(1, round(bits / n_keys * math.log(2)))
+    auto_bits, auto_k = bloom_params(n_keys, 0.01)
+    assert got_k < auto_k  # the auto k would be wrong for this bitmap
+    # fully-pinned and fully-auto paths unchanged
+    assert resolve_bloom_shape(None, None, n_keys, 0.01) == (auto_bits, auto_k)
+    assert resolve_bloom_shape(bits, 2, n_keys, 0.01) == (bits, 2)

@@ -216,3 +216,17 @@ def test_merged_spans_helper(spark):
     assert [(s["s"], s["e"]) for s in out[1]["spans"]] == [(1, 5), (9, 12)]
     assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 9
     assert [(s["s"], s["e"]) for s in out[2]["spans"]] == [(5, 8)]
+
+
+def test_fast_mode_rejects_string_ids(spark):
+    # '0012' and '12' would silently merge under a long cast; the fast
+    # path must refuse non-integer ids up front (oracle mode handles them)
+    df = spark.createDataFrame(
+        [("0012", "a b c d e f"), ("12", "a b c d e f")],
+        "doc_id string, text string")
+    with pytest.raises(ValueError, match="integer id"):
+        remove_duplicated_spans(df, k=4)
+    out = {r["doc_id"]: r["n_dropped"]
+           for r in remove_duplicated_spans(df, k=4,
+                                            hash_mode="oracle").collect()}
+    assert out == {"0012": 6, "12": 6}  # distinct docs, dup run erased

@@ -132,3 +132,18 @@ def test_packing_stats(spark):
 def test_capacity_validation(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, [(1, 3)]), 0, 1)
+
+
+def test_null_text_packs_zero_width(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, 64, 1).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_tokens"] == 0 and not out[2]["oversize"]
+
+
+def test_string_ids_rejected(spark):
+    df = spark.createDataFrame([("x", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integer id"):
+        pack_sequences(df, 64, 1)

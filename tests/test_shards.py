@@ -89,3 +89,18 @@ def test_writer_layout_and_order(spark, docs, tmp_path):
          for r in back.select("doc_id", F.col("shard").cast("int")
                               .alias("shard"), "pos").collect()}
     assert a == b
+
+
+def test_writer_single_exchange(spark, tmp_path):
+    # the corpus text must cross exactly ONE exchange: the pre-window
+    # repartition on shard satisfies the rank window's clustering AND
+    # the writer's output partitioning (round-6 review finding)
+    rows = [(i, f"text body {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = assign_training_shards(df, 4, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # and the pinned-width form is row-identical to the default form
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, assign_training_shards(df, 4).collect()))
+    assert a == b
