@@ -39,7 +39,7 @@ counts (chars_dropped * denom <= num * chars_total), never floats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # trim spaces, tabs and CRs (Windows line endings leave \r before \n)
