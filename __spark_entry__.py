@@ -840,6 +840,26 @@ def q_dedup_survivors(spark, sf):
     return duplicates_to_drop(res["assignments"])
 
 
+def q_dedup_survivors_longest(spark, sf):
+    """The keep-longest survivor policy (operators/dedup.py
+    keep_best_policy — the common LLM-pipeline choice) over the same
+    real near-dup components as dedup_survivors: drop list = every
+    member that is NOT the longest text of its >=2 component (ties ->
+    min doc_id). DuckDB resolves the identical components with the
+    recursive label-flood CTE and replays the keep-longest window."""
+    from fastdup_spark.config import PipelineConfig
+    from fastdup_spark.operators.dedup import duplicates_to_drop
+    from fastdup_spark.plans.pipeline import near_dup_pipeline
+
+    docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", ""), r"\s+", " "))
+    docs = docs.filter(norm != "")
+    res = near_dup_pipeline(docs, PipelineConfig())
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return duplicates_to_drop(res["assignments"], scores=scores)
+
+
 # The simhash oracles (round-5 verdict #4): DuckDB cannot reproduce Spark's
 # xxhash64 shingle hashes, but it CAN reproduce the bit vote and Hamming
 # blocking from the SAME uint64s — so the Spark queries dump their shingle
@@ -1551,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_best_neighbor": q_doc_best_neighbor,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_longest": q_dedup_survivors_longest,
         "review_override_components": q_review_override_components,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2595,6 +2616,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, component_id
             FROM comp WHERE doc_id <> component_id
+        """,
+        # same recursive-CTE components; survivor = longest raw text
+        # (ties -> min doc_id), drop list = everyone else
+        "dedup_survivors_longest": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+              WHERE trim(regexp_replace(regexp_replace(text,
+                       '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 9 THEN array_to_string(w, ' ')
+                            ELSE array_to_string(w[i : i+8], ' ') END AS g
+                FROM (SELECT doc_id, w,
+                             unnest(range(1, greatest(len(w) - 8, 1) + 1)) AS i
+                      FROM toks))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS icnt
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT src, dst FROM inter
+              JOIN sizes sa ON sa.doc_id = src
+              JOIN sizes sb ON sb.doc_id = dst
+              WHERE icnt * CAST(1.0 AS DOUBLE) / (sa.n + sb.n - icnt) >= 0.85
+            ),
+            sym AS (
+              SELECT src AS u, dst AS v FROM edges
+              UNION ALL
+              SELECT dst AS u, src AS v FROM edges
+            ),
+            reach(u, c) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, min(c) AS component_id
+              FROM reach GROUP BY u
+            ),
+            ranked AS (
+              SELECT comp.doc_id, comp.component_id,
+                     row_number() OVER (
+                       PARTITION BY comp.component_id
+                       ORDER BY length(d.text) DESC, comp.doc_id) AS rn
+              FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+            )
+            SELECT doc_id, component_id FROM ranked WHERE rn > 1
         """,
         "search_many": r"""
             WITH toks AS (
