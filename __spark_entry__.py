@@ -306,6 +306,18 @@ def q_sequence_packing(spark, sf):
     return pack_sequences(d, capacity=200, n_shards=8, salt="pack")
 
 
+def q_sequence_chopping(spark, sf):
+    """GPT-style concat-and-chop packing (operators/packing.py
+    chop_sequences): each shard's docs concatenate in the md5 walk order
+    and chop into 200-token windows, docs straddling boundaries. Pure
+    integer arithmetic over a per-shard running sum, so DuckDB replays
+    the permutation, the cumsum and every slice bound exactly."""
+    from fastdup_spark.operators.packing import chop_sequences
+
+    d = _t(spark, sf, "documents")
+    return chop_sequences(d, capacity=200, n_shards=8, salt="chop")
+
+
 def q_content_fingerprint(spark, sf):
     """Whitespace/punct-insensitive content fingerprint (md5 flavor so the
     oracle can reproduce it; production uses xxhash64)."""
@@ -1611,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_removal": q_exact_substring_removal,
         # next-fit training-bin packing (recursive-CTE oracle)
         "sequence_packing": q_sequence_packing,
+        # GPT-style concat-and-chop window packing (integer oracle)
+        "sequence_chopping": q_sequence_chopping,
         # DSIR data selection (two-LM importance ratio, ranked head-cut)
         "dsir_selection": q_dsir_selection,
         # ExactSubstr vs history via Bloom (span-granularity Dolma trick)
@@ -3224,6 +3238,49 @@ def oracle_sql() -> dict[str, str]:
                                / per.n_tokens), 2)
                    END AS ppl
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # concat-and-chop replay: md5 shard/pos permutation, per-shard
+        # running token sum, slice bounds as pure integer arithmetic
+        "sequence_chopping": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({tok}, x -> x <> ''))
+                          AS BIGINT) AS n_tokens,
+                     md5('chop:' || CAST(doc_id AS VARCHAR)) AS hk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, n_tokens, hk,
+                     CAST(CAST('0x' || substring(hk, 1, 15) AS BIGINT) % 8
+                          AS INTEGER) AS shard
+              FROM base
+            ),
+            ordered AS (
+              SELECT doc_id, n_tokens, shard,
+                     CAST(row_number() OVER (PARTITION BY shard
+                                             ORDER BY hk, doc_id)
+                          AS BIGINT) AS pos,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                              ORDER BY hk, doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS g_end
+              FROM sh
+            ),
+            g AS (
+              SELECT *, g_end - n_tokens AS g_start
+              FROM ordered WHERE n_tokens > 0
+            )
+            SELECT doc_id, shard, pos, n_tokens,
+                   w AS "window",
+                   CAST(greatest(g_start, w * 200) - w * 200
+                        AS BIGINT) AS win_offset,
+                   CAST(greatest(g_start, w * 200) - g_start + 1
+                        AS BIGINT) AS tok_start,
+                   CAST(least(g_end, (w + 1) * 200)
+                        - greatest(g_start, w * 200) AS BIGINT) AS tok_len
+            FROM (SELECT *, unnest(range(g_start // 200,
+                                         (g_end - 1) // 200 + 1)) AS w
+                  FROM g)
         """,
         # DSIR: both unigram fits (micro-nat contract, identical to the
         # lm_perplexity replay), the per-token log-ratio sum, and the

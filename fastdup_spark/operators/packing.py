@@ -127,3 +127,61 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
              F.sum("n_tokens").cast("long").alias("fill"))
         .withColumn("util", F.col("fill") / F.lit(float(capacity)))
     )
+
+
+def chop_sequences(docs: DataFrame, capacity: int, n_shards: int,
+                   salt: str = "", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   count_col: str | None = None) -> DataFrame:
+    """GPT-style concat-and-chop packing: the complement of
+    ``pack_sequences``. Each shard's docs concatenate in the
+    deterministic (shard, pos) walk order into one token stream, chopped
+    into fixed ``capacity``-token windows — documents MAY straddle a
+    window boundary (zero padding waste; the attention mask isolates
+    docs downstream). Returns one row per (doc, window) slice:
+
+      (doc_id, shard, pos, n_tokens, window, win_offset, tok_start,
+       tok_len)
+
+    window is the 0-based window inside the shard, win_offset the
+    slice's token offset inside that window, tok_start the 1-based
+    first doc token of the slice, tok_len its length. Slices of one doc
+    are contiguous across consecutive windows; zero-token docs emit no
+    slices. Everything is integer arithmetic over a per-shard running
+    sum — one hash shuffle + one window cumsum, no Python, and the
+    DuckDB driver oracle (`sequence_chopping`) replays it exactly."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    from pyspark.sql import Window as W
+
+    from .exactsubstr import require_numeric_id
+
+    require_numeric_id(docs, id_col, "chop_sequences")
+    n = (F.col(count_col).cast("long") if count_col
+         else token_count_expr(text_col))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.coalesce(n, F.lit(0).cast("long"))
+                       .alias("n_tokens"))
+    sharded = assign_training_shards(base, n_shards, salt, "doc_id") \
+        .select("doc_id", "shard", "pos", "n_tokens")
+    cap = int(capacity)
+    w = W.partitionBy("shard").orderBy("pos") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = sharded.withColumn("g_end", F.sum("n_tokens").over(w)) \
+        .withColumn("g_start", F.col("g_end") - F.col("n_tokens")) \
+        .filter(F.col("n_tokens") > 0)
+    # windows touched: floor(g_start/cap) .. floor((g_end-1)/cap)
+    w_lo = (F.col("g_start") / cap).cast("long")
+    w_hi = ((F.col("g_end") - 1) / cap).cast("long")
+    sliced = g.select(
+        "doc_id", "shard", "pos", "n_tokens", "g_start", "g_end",
+        F.explode(F.sequence(w_lo, w_hi)).alias("window"))
+    s_start = F.greatest(F.col("g_start"), F.col("window") * cap)
+    s_end = F.least(F.col("g_end"), (F.col("window") + 1) * cap)
+    return sliced.select(
+        "doc_id", "shard", "pos", "n_tokens",
+        "window",
+        (s_start - F.col("window") * cap).cast("long").alias("win_offset"),
+        (s_start - F.col("g_start") + 1).cast("long").alias("tok_start"),
+        (s_end - s_start).cast("long").alias("tok_len"),
+    )

@@ -147,3 +147,77 @@ def test_string_ids_rejected(spark):
     df = spark.createDataFrame([("x", "a b")], "doc_id string, text string")
     with pytest.raises(ValueError, match="integer id"):
         pack_sequences(df, 64, 1)
+
+
+def _chop_reference(ids_counts, capacity, n_shards, salt=""):
+    """Pure-Python twin of chop_sequences."""
+    rows = []
+    for i, n in ids_counts:
+        hk = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        rows.append((int(hk[:15], 16) % n_shards, hk, i, n))
+    out = []
+    for shard in range(n_shards):
+        walk = sorted((hk, i, n) for s, hk, i, n in rows if s == shard)
+        g = 0
+        for pos, (hk, i, n) in enumerate(walk, start=1):
+            if n == 0:
+                continue
+            s, e = g, g + n
+            for w in range(s // capacity, (e - 1) // capacity + 1):
+                a, b = max(s, w * capacity), min(e, (w + 1) * capacity)
+                out.append((i, shard, pos, n, w, a - w * capacity,
+                            a - s + 1, b - a))
+            g = e
+    return sorted(out)
+
+
+def test_chop_matches_python_reference(spark):
+    from fastdup_spark.operators.packing import chop_sequences
+    rng = random.Random(31)
+    ids_counts = [(i, rng.randint(0, 90)) for i in range(1, 150)]
+    want = _chop_reference(ids_counts, 64, 4, salt="c")
+    got = sorted(map(tuple,
+                     chop_sequences(_docs(spark, ids_counts), 64, 4,
+                                    salt="c").collect()))
+    assert got == want
+
+
+def test_chop_windows_tile_exactly(spark):
+    from fastdup_spark.operators.packing import chop_sequences
+    ids_counts = [(i, 17) for i in range(1, 60)]
+    cap = 50
+    out = chop_sequences(_docs(spark, ids_counts), cap, 2).collect()
+    # per doc: slice lengths sum to n_tokens, slices contiguous
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i, rows in per_doc.items():
+        rows.sort(key=lambda r: r["tok_start"])
+        assert sum(r["tok_len"] for r in rows) == rows[0]["n_tokens"]
+        nxt = 1
+        for r in rows:
+            assert r["tok_start"] == nxt
+            nxt += r["tok_len"]
+    # per window: slices tile [0, cap) with no gaps (except the last
+    # window of each shard, which may be a prefix)
+    wins = {}
+    for r in out:
+        wins.setdefault((r["shard"], r["window"]), []).append(r)
+    for (shard, win), rows in wins.items():
+        rows.sort(key=lambda r: r["win_offset"])
+        off = 0
+        for r in rows:
+            assert r["win_offset"] == off
+            off += r["tok_len"]
+        last = max(w for s, w in wins if s == shard)
+        if win < last:
+            assert off == cap
+    # straddling actually happens at these sizes (17 does not divide 50)
+    assert any(len(rows) > 1 for rows in per_doc.values())
+
+
+def test_chop_zero_token_docs_emit_nothing(spark):
+    from fastdup_spark.operators.packing import chop_sequences
+    out = chop_sequences(_docs(spark, [(1, 5), (2, 0), (3, 7)]),
+                         64, 1).collect()
+    assert {r["doc_id"] for r in out} == {1, 3}
