@@ -93,7 +93,6 @@ def test_matches_python_reference_sennrich_corpus(spark):
     assert [(m.rank, m.left, m.right, m.pair_count) for m in got] == want
     # the famous outcome: 'est</w>' becomes one symbol
     syms = {r["word"]: r["symbols"].split(" ") for r in words.collect()}
-    joined = ["".join([]) or s for s in syms.values()]
     assert any("est</w>" in s for s in syms.values())
 
 
@@ -159,9 +158,10 @@ def test_vocab_counts(spark):
 
 
 def test_merge_pattern_quoting():
-    assert re.match(r"\(\?<=", merge_pattern("a", "b").replace("(?<=", "(?<=", 1)) or True
     p = merge_pattern(".", "$")
     assert "\\Q.\\E" in p and "\\Q$\\E" in p
+    # a symbol containing the quote terminator itself stays literal
+    assert "\\E\\\\E\\Q" in merge_pattern("a\\Eb", "c")
 
 
 def test_n_merges_validation(spark):
