@@ -25,26 +25,22 @@ def cross_doc_duplicated(df: DataFrame, key_col: str,
     (lines/passages/exactsubstr); never fork a copy (the NULL-key and
     collision lessons must land in one place).
 
-    Default min_docs=2 is one window shuffle on the key (min(doc_id) !=
-    max(doc_id) — exactly ">= 2 distinct docs" with no per-key set even
-    for a boilerplate key in millions of docs); generic min_docs is a
-    count-distinct aggregate + semi join. NULL keys are never flagged
-    (Spark pools NULLs into one window partition — the round-6
+    Shape: a hash AGGREGATE on the key (default min_docs=2 needs only
+    min(doc_id) != max(doc_id) — ">= 2 distinct docs" with no per-key
+    set even for a boilerplate key in millions of docs; generic
+    min_docs counts distinct ids) + a semi join back. The aggregate
+    partial-combines map-side and never sorts; the equivalent
+    min!=max WINDOW form sort-shuffles the ENTIRE key stream — measured
+    30% slower at 1M pages (204s vs 143s for the ExactSubstr flag pass,
+    identical output; round-6 continuation). NULL keys are never
+    flagged (Spark pools NULLs into one key group — the round-6
     NULL-key-window lesson)."""
     keyed = df.filter(F.col(key_col).isNotNull())
     if min_docs == 2:
-        wk = Window.partitionBy(key_col)
-        return (
-            keyed.withColumn(
-                "__dup",
-                F.min(id_col).over(wk) != F.max(id_col).over(wk))
-            .filter(F.col("__dup")).drop("__dup"))
-    dup = (
-        keyed.groupBy(key_col)
-        .agg(F.count_distinct(id_col).alias("__n"))
-        .filter(F.col("__n") >= min_docs)
-        .select(key_col)
-    )
+        cond = F.min(id_col) != F.max(id_col)
+    else:
+        cond = F.count_distinct(id_col) >= min_docs
+    dup = keyed.groupBy(key_col).agg(cond.alias("__d"))         .filter(F.col("__d")).select(key_col)
     return keyed.join(dup, key_col, "left_semi")
 
 

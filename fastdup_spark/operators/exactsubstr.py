@@ -38,10 +38,13 @@ Scale shape (measured on the 10k-page bench corpus, 2.4M tokens):
     pure built-in md5(concat_ws) form the DuckDB driver oracle replays
     verbatim. Measured end-to-end at k=50: 60-72s oracle, 4-8s fast —
     identical outputs.
-  * the flag pass shuffles (doc_id, start, hash) ONLY (default
-    min_docs=2: min(doc_id) != max(doc_id) window over the hash — ">=
-    2 distinct docs" with no per-key set even for a license header in
-    millions of docs; generic min_docs: count-distinct + join).
+  * the flag pass shuffles (doc_id, start, hash) ONLY, as a hash
+    AGGREGATE (min(doc_id) != max(doc_id) per key — ">= 2 distinct
+    docs" with no per-key set even for a license header in millions of
+    docs) + a semi join back: partial map-side combine, never a
+    sort-based window over the full window stream (measured 30% faster
+    at 1M pages). The semi join recomputes the cheap hash mapper on
+    its build side rather than materializing 1e8+ rows.
   * flagged window starts are merged into DISJOINT spans FIRST (lag
     window per doc: new-span flag, running span id, min/max per span) —
     never the naive k-rows-per-window coverage explode, which emits
