@@ -30,9 +30,10 @@ def cross_doc_duplicated(df: DataFrame, key_col: str,
     set even for a boilerplate key in millions of docs; generic
     min_docs counts distinct ids) + a semi join back. The aggregate
     partial-combines map-side and never sorts; the equivalent
-    min!=max WINDOW form sort-shuffles the ENTIRE key stream — measured
-    30% slower at 1M pages (204s vs 143s for the ExactSubstr flag pass,
-    identical output; round-6 continuation). NULL keys are never
+    min!=max WINDOW form sort-shuffles the ENTIRE key stream — the
+    asymptotic hazard at corpus scale (same-session min-of-2 e2e at 1M
+    pages: window 65.9s vs agg+semi 60.4s for ExactSubstr, identical
+    output; round-6 continuation). NULL keys are never
     flagged (Spark pools NULLs into one key group — the round-6
     NULL-key-window lesson)."""
     keyed = df.filter(F.col(key_col).isNotNull())

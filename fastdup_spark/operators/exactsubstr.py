@@ -42,9 +42,11 @@ Scale shape (measured on the 10k-page bench corpus, 2.4M tokens):
     AGGREGATE (min(doc_id) != max(doc_id) per key — ">= 2 distinct
     docs" with no per-key set even for a license header in millions of
     docs) + a semi join back: partial map-side combine, never a
-    sort-based window over the full window stream (measured 30% faster
-    at 1M pages). The semi join recomputes the cheap hash mapper on
-    its build side rather than materializing 1e8+ rows.
+    sort-based window over the full window stream (same-session
+    min-of-2 e2e at 1M pages/235M windows: 60.4s vs 65.9s window form —
+    ~3.9M tokens/s warm; the sort is the asymptotic hazard). The semi
+    join recomputes the cheap hash mapper on its build side rather
+    than materializing 1e8+ rows.
   * flagged window starts are merged into DISJOINT spans FIRST (lag
     window per doc: new-span flag, running span id, min/max per span) —
     never the naive k-rows-per-window coverage explode, which emits
