@@ -187,7 +187,7 @@ def test_fast_mode_plan_shape(spark):
     assert "ArrowEvalPython" not in plan   # no scalar UDF (double-eval trap)
     # the agg+semi flag pass references the fused hash mapper on BOTH
     # join sides — a deliberate recompute (cheap numpy pass) that buys
-    # dropping the sort-based window over the full stream (30% at 1M)
+    # dropping the sort-based window over the full stream (1M A/B in BENCH)
     assert plan.count("MapInPandas") == 2
 
 
