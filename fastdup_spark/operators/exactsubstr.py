@@ -83,8 +83,12 @@ def _tokens(text_col) -> "F.Column":
     """Non-empty ws-tokens: identical to ws_tokens_expr except that a
     blank doc yields [] instead of [''] (blank docs produce no windows
     either way; this keeps indices aligned with the token filter the
-    reassembly applies)."""
-    return F.filter(ws_tokens_expr(text_col), lambda t: t != "")
+    reassembly applies). NULL text coalesces to '' first — without it a
+    NULL row ships a NULL token array into the fast-path Arrow kernel
+    (np.asarray(None) -> crash) and 3VL-poisons n_tokens/kept in the
+    rebuild (a NULL doc must be kept with empty text, like a blank one)."""
+    return F.filter(ws_tokens_expr(F.coalesce(text_col, F.lit(""))),
+                    lambda t: t != "")
 
 
 def kgram_windows(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
@@ -130,6 +134,8 @@ def make_window_hash_mapper(k: int, seed: int = _ESUB_SEED):
             ids, starts, hashes = [], [], []
             for doc_id, th in zip(pdf["doc_id"].to_numpy(),
                                   pdf["th"].to_numpy()):
+                if th is None:  # NULL token array (defense in depth;
+                    continue    # _tokens() coalesces NULL text upstream)
                 th = np.asarray(th, dtype=np.int64).astype(np.uint64)
                 n = th.size
                 if n < k:
@@ -198,9 +204,12 @@ def _flagged_starts(docs: DataFrame, k: int, min_docs: int, id_col: str,
 def merged_spans(starts: DataFrame, k: int) -> DataFrame:
     """Flagged window starts -> disjoint merged token intervals:
     (doc_id, spans array<struct<s,e>>, n_spans, n_dropped). Two windows
-    merge when their coverages overlap or abut (start <= prev + k - 1
-    ... actually <= prev_end, i.e. start - prev <= k - 1); spans are
-    emitted sorted by s and pairwise disjoint."""
+    merge only when their coverages OVERLAP (start <= prev + k - 1, i.e.
+    they share at least one token); windows whose coverage exactly abuts
+    (start == prev + k, contiguous but non-overlapping) stay separate
+    spans — n_dropped is unaffected (spans stay disjoint) but n_spans
+    counts such a contiguous erased run as two. This is the contract the
+    DuckDB driver oracle replays; keep both engines on the same rule."""
     wd = Window.partitionBy("doc_id").orderBy("start")
     wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     numbered = (

@@ -51,7 +51,10 @@ def doc_lines(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, idx, line): the doc's non-blank trimmed lines, 1-based idx
     over the raw newline split (blank lines keep their slots out of the
     output but idx stays stable for the survivors' relative order)."""
-    raw = F.posexplode(F.split(F.col(text_col), "\n", -1))
+    # NULL text coalesces to '' so a NULL doc behaves like a blank one
+    # (no lines) instead of 3VL-poisoning downstream verdicts
+    raw = F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                               "\n", -1))
     out = (
         docs.select(F.col(id_col).alias("doc_id"),
                     raw.alias("idx0", "raw"))
@@ -91,9 +94,13 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 2,
     per_doc = dropped.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("idx")).alias("didx"))
 
-    # doc-local rebuild: re-split in place, drop flagged slots by index
-    trimmed = F.transform(F.split(F.col(text_col), "\n", -1),
-                          lambda s: F.btrim(s, F.lit(" \t\r")))
+    # doc-local rebuild: re-split in place, drop flagged slots by index.
+    # NULL text -> '' (one blank line): the doc is kept with empty
+    # clean_text and zero counts rather than a NULL kept verdict that
+    # filter(kept) AND filter(~kept) both silently drop (3VL).
+    trimmed = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1),
+        lambda s: F.btrim(s, F.lit(" \t\r")))
     base = docs.select(F.col(id_col).alias("doc_id"), trimmed.alias("ls"))
     no_idx = F.array().cast("array<int>")
     zero = F.lit(0).cast("long")

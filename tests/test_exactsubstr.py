@@ -233,3 +233,22 @@ def test_fast_mode_rejects_string_ids(spark):
            for r in remove_duplicated_spans(df, k=4,
                                             hash_mode="oracle").collect()}
     assert out == {"0012": 6, "12": 6}  # distinct docs, dup run erased
+
+
+def test_null_text_kept_with_empty_text(spark):
+    # ADVICE r06: NULL text crashed the fast-path Arrow kernel
+    # (np.asarray(None)) and 3VL-poisoned kept in oracle mode; the
+    # contract is "a doc with no tokens is kept with empty text"
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, None), (3, "a b c d e f g h")],
+        "doc_id bigint, text string")
+    for mode in ("fast", "oracle"):
+        out = {r["doc_id"]: r
+               for r in remove_duplicated_spans(
+                   df, k=4, hash_mode=mode).collect()}
+        assert set(out) == {1, 2, 3}, mode
+        assert out[2]["kept"] is True, mode
+        assert out[2]["clean_text"] == "" and out[2]["n_tokens"] == 0, mode
+        assert out[2]["n_dropped"] == 0 and out[2]["n_spans"] == 0, mode
+        # the duplicated run in 1/3 is still erased
+        assert out[1]["n_dropped"] == 8 and not out[1]["kept"], mode

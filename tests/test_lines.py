@@ -101,3 +101,18 @@ def test_plan_is_jvm_only(spark, docs):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_null_text_kept_with_empty_text(spark):
+    # ADVICE r06: NULL text gave kept=NULL (3VL) so filter(kept) AND
+    # filter(~kept) both dropped the doc; contract is keep-with-empty
+    dup = "duplicated boilerplate line"
+    df = spark.createDataFrame(
+        [(1, dup + "\nunique one"), (2, None), (3, dup + "\nunique two")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_lines(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["kept"] is True
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_lines"] == 0 and out[2]["chars_total"] == 0
+    assert out[1]["n_dropped"] == 1  # dedup still fires for real docs
