@@ -42,16 +42,56 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastdup_spark.functions.similarity import cosine_expr
-from fastdup_spark.operators.cc import connected_components
 from fastdup_spark.operators.kmeans import kmeans_fit
 
 # composite pair-join key for split clusters: cluster * _SUB_BASE + sub.
 # sub < _SUB_BASE always (sub-k is capped below it), so the key is unique.
 _SUB_BASE = 65536
+
+# |S - boundary| below this routes a pair through the exact sequential-fold
+# + Spark-round replay (_seq_round3): the blocked float64 matmul differs
+# from the JVM's left-fold by <~1e-13 relative, so only pairs this close
+# to the decision boundary can disagree after rounding to 3dp.
+_COS_MARGIN = 1e-9
+
+# row-block height for the within-cluster cosine matmul: bounds the
+# (block x n) score matrix so one giant cluster can't allocate an n^2
+# float64 buffer (4096 rows x 1e6 cols would still be 32 GB — the
+# max_cluster_size guard is the real bound; this caps the constant)
+_COS_BLOCK = 2048
+
+
+def _seq_round3(a: np.ndarray, b: np.ndarray) -> float:
+    """Bit-exact replay of round(cosine_expr(a, b), 3) for ONE pair: the
+    JVM evaluates each aggregate() as a sequential left fold in doubles,
+    and round() on a double applies HALF_UP to its SHORTEST decimal
+    representation (scala BigDecimal(double) goes through
+    Double.toString) — Decimal(repr(x)) is the exact Python twin."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x in (a * b).tolist():
+        dot += x
+    for x in (a * a).tolist():
+        na += x
+    for x in (b * b).tolist():
+        nb += x
+    na = math.sqrt(na)
+    nb = math.sqrt(nb)
+    if na == 0.0 or nb == 0.0:
+        c = 0.0
+    else:
+        c = dot / (na * nb)
+    return float(Decimal(repr(c)).quantize(Decimal("0.001"),
+                                           rounding=ROUND_HALF_UP))
 
 
 def semdedup_edges(assigned: DataFrame, threshold: float,
@@ -84,6 +124,129 @@ def semdedup_edges(assigned: DataFrame, threshold: float,
         .filter(F.col("cosine") >= float(threshold))
         .select("cluster", "src", "dst", "cosine")
     )
+
+
+def _union_edges(parent: np.ndarray, u: np.ndarray,
+                 v: np.ndarray) -> np.ndarray:
+    """Vectorized union of edge arrays (Shiloach-Vishkin hook + full
+    pointer-jump): np.minimum.at resolves conflicting hooks monotonically,
+    so the fixpoint (min index per component) is edge-order independent.
+    O(log n) outer rounds over the edge arrays."""
+    while True:
+        while True:  # full path compression
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        ru, rv = parent[u], parent[v]
+        hi = np.maximum(ru, rv)
+        lo = np.minimum(ru, rv)
+        diff = hi != lo
+        if not diff.any():
+            return parent
+        np.minimum.at(parent, hi[diff], lo[diff])
+
+
+def _cluster_components_udf(id_col: str, vec_col: str, threshold: float):
+    """applyInPandas kernel: ONE cluster's members in, (id, component_id)
+    out — the connected components of the round(cosine,3) >= threshold
+    graph, label = min member id. Replaces materializing sum(c_i^2)
+    edge rows + the iterative global CC with one blocked numpy matmul
+    per cluster (edges never cross clusters, so global CC == per-cluster
+    CC). Decision parity with the JVM expression path: the bulk matmul
+    decides pairs farther than _COS_MARGIN from the threshold boundary;
+    anything closer replays the exact sequential fold + Spark round
+    (_seq_round3)."""
+    t = float(threshold)
+    # round3(c) >= t  <=>  c >= t - 5e-4 (up to rounding-tie hair; the
+    # margin band around the boundary goes through the exact replay)
+    boundary = t - 5e-4
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = ids.size
+        if n == 1:
+            return pd.DataFrame({id_col: ids, "component_id": ids})
+        vecs = pdf[vec_col].to_numpy()[order]
+        # JVM semantics replayed exactly: a NULL vector has NULL norms ->
+        # NULL cosine -> never an edge (unless the OTHER side is
+        # zero-norm, which short-circuits to 0.0); different-length
+        # vectors zip to a NULL dot -> no edge; a zero-norm vector's
+        # cosine is 0.0 with EVERYTHING.
+        lens = np.fromiter(((-1 if x is None else len(x)) for x in vecs),
+                           dtype=np.int64, count=n)
+        parent = np.arange(n, dtype=np.int64)
+        zero_norm = lens == 0  # empty array folds to norm 0.0
+        for L in np.unique(lens[lens > 0]).tolist():
+            idx = np.nonzero(lens == L)[0]
+            X = np.empty((idx.size, L), dtype=np.float64)
+            for r, gi in enumerate(idx.tolist()):
+                X[r] = np.asarray(vecs[gi], dtype=np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+            zv = norms == 0.0
+            zero_norm[idx[zv]] = True
+            act = idx[~zv]                      # nonzero-norm members
+            if act.size < 2:
+                continue
+            Xa = X[~zv]
+            Xn = Xa / norms[~zv][:, None]
+            for s in range(0, act.size, _COS_BLOCK):
+                e = min(s + _COS_BLOCK, act.size)
+                S = Xn[s:e] @ Xn.T                           # (b, m)
+                ii, jj = np.indices(S.shape, sparse=True)
+                tri = (ii + s) < jj         # act asc => global i < j
+                sure = tri & (S > boundary + _COS_MARGIN)
+                u, v = np.nonzero(sure)
+                if u.size:
+                    parent = _union_edges(parent, act[u + s], act[v])
+                maybe = tri & (np.abs(S - boundary) <= _COS_MARGIN)
+                mu, mv = np.nonzero(maybe)
+                if mu.size:
+                    eu, ev = [], []
+                    for i, j in zip(act[mu + s].tolist(),
+                                    act[mv].tolist()):
+                        a = np.asarray(vecs[i], dtype=np.float64)
+                        b = np.asarray(vecs[j], dtype=np.float64)
+                        if _seq_round3(a, b) >= t:
+                            eu.append(i)
+                            ev.append(j)
+                    if eu:
+                        parent = _union_edges(
+                            parent, np.asarray(eu, dtype=np.int64),
+                            np.asarray(ev, dtype=np.int64))
+        # zero-norm members: cosine 0.0 with every other row (any length,
+        # even NULL vectors) -> hub edges to everything iff 0.0 >= t
+        if zero_norm.any() and 0.0 >= t:
+            anchor = np.full(n, int(np.nonzero(zero_norm)[0][0]),
+                             dtype=np.int64)
+            parent = _union_edges(parent, anchor,
+                                  np.arange(n, dtype=np.int64))
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        return pd.DataFrame({id_col: ids, "component_id": ids[parent]})
+
+    return _fn
+
+
+def cluster_components(assigned: DataFrame, threshold: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(id, component_id) for every member of ``assigned`` (id, cluster,
+    vec) — the same components semdedup_edges + CC would produce, but
+    computed per cluster in one Arrow pass (blocked matmul + vectorized
+    union-find) with zero edge materialization. Singletons label
+    themselves. One shuffle, keyed on ``cluster``."""
+    av = assigned.select(
+        F.col(id_col), F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    return av.groupBy("cluster").applyInPandas(
+        _cluster_components_udf(id_col, "_v", threshold),
+        schema=f"{id_col} long, component_id long")
 
 
 def split_oversized_clusters(assignments: DataFrame, embeddings: DataFrame,
@@ -169,20 +332,40 @@ def semdedup_decisions(assignments: DataFrame, embeddings: DataFrame,
         embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
     edges = semdedup_edges(assigned, threshold,
                            id_col=id_col, vec_col=vec_col)
-    comp = connected_components(
-        edges.select("src", "dst"),
-        vertices=assignments.select(F.col(id_col).alias("doc_id")))
+    # components per cluster (edges never cross clusters, so global CC
+    # == per-cluster CC): one Arrow pass instead of materializing the
+    # sum(cluster^2) edge rows through a join + iterative CC rounds —
+    # the r06 bench showed that form superlinear (754s at 20k vectors,
+    # k=8: ~25M JVM cosine pairs + CC over a multi-million-edge set).
+    # Assignment ids with no embedding row label themselves (the old
+    # vertices= singleton rule).
+    comp = _components_with_singletons(assigned, assignments, threshold,
+                                       id_col, vec_col)
     # component_id is never NULL (every vertex gets its own id as a
     # singleton label), so the keep-one window needs no NULL-key guard.
     w = Window.partitionBy("component_id") \
         .orderBy(F.desc("distance"), F.col(id_col))
     decisions = (
-        assignments.join(comp.withColumnRenamed("doc_id", id_col), id_col)
+        assignments.join(comp, id_col)
         .withColumn("_rk", F.row_number().over(w))
         .select(id_col, "cluster", "component_id", "distance",
                 (F.col("_rk") == 1).alias("is_survivor"))
     )
     return {"edges": edges, "decisions": decisions}
+
+
+def _components_with_singletons(assigned: DataFrame, assignments: DataFrame,
+                                threshold: float, id_col: str,
+                                vec_col: str) -> DataFrame:
+    comp = cluster_components(assigned, threshold,
+                              id_col=id_col, vec_col=vec_col)
+    return (
+        assignments.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("component_id", F.col(id_col))
+                .alias("component_id"))
+    )
 
 
 def semdedup(embeddings: DataFrame, k: int = 8, n_iter: int = 2,

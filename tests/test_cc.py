@@ -102,3 +102,20 @@ def test_pipeline_cc_matches_oracle(fd):
     got = {r["doc_id"]: r["component_id"] for r in
            fd.store.read(fd.spark, "assignments").collect()}
     assert got == _oracle(edges, verts)
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    # r07: edge sets at or below the driver gate resolve with arrow
+    # collect + vectorized union-find; parity with the star rounds and
+    # the oracle is pinned here (both paths forced explicitly).
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 400, size=(800, 2)) if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in range(450)], "doc_id long")
+    fast = {r["doc_id"]: r["component_id"]
+            for r in connected_components(e, v).collect()}
+    dist = {r["doc_id"]: r["component_id"]
+            for r in connected_components(
+                e, v, driver_edges_max=0).collect()}
+    assert fast == dist == _oracle(edges, vertices=range(450))

@@ -163,3 +163,36 @@ def test_split_noop_below_bound(two_blobs):
     a = sorted(map(tuple, asg.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_cluster_components_match_edge_cc(spark):
+    # r07 optimization: decisions components now come from the per-cluster
+    # Arrow kernel (blocked matmul + union-find) instead of materialized
+    # edges + iterative CC. Parity pinned here against the old form,
+    # including zero vectors, a NULL vector and a mismatched-length one.
+    import random
+
+    from fastdup_spark.operators.cc import connected_components
+    from fastdup_spark.operators.semdedup import cluster_components
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [1.0, 0.2, 0.1] if i % 3 == 0 else [0.1, 1.0, 0.4]
+        vec = [x + rng.uniform(-0.2, 0.2) for x in base]
+        rows.append((i, i % 4, vec))
+    rows += [(200, 1, [0.0, 0.0, 0.0]),       # zero-norm
+             (201, 1, None),                   # NULL vector
+             (202, 1, [1.0, 0.2])]             # mismatched length
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>")
+    for thr in (0.95, 0.5, 0.0):
+        new = {r["vec_id"]: r["component_id"]
+               for r in cluster_components(df, thr).collect()}
+        edges = semdedup_edges(df, thr)
+        old = {r["doc_id"]: r["component_id"]
+               for r in connected_components(
+                   edges.select("src", "dst"),
+                   vertices=df.select(F.col("vec_id").alias("doc_id"))
+               ).collect()}
+        assert new == old, f"threshold {thr}"
