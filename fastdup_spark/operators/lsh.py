@@ -27,15 +27,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Version stamp for the band-bucket hash function, persisted in the
+# `buckets` stage marker. v2 = xxhash64 over the band's `rows` signature
+# values passed as separate columns (35% cheaper than v1's
+# xxhash64(slice(...)): no per-band array allocation + serialization).
+# A persisted index and a probe MUST use the same version — the
+# incremental tripwires force a full rebuild on mismatch.
+BAND_HASH_VERSION = 2
+
+
 def band_buckets(sig_df: DataFrame, bands: int, rows: int,
                  id_col: str = "doc_id", sig_col: str = "minhash") -> DataFrame:
     """Explode signatures into (doc_id, band_id, bucket) — pure built-ins.
 
-    bucket = xxhash64 of the band's signature slice (JVM-side, deterministic).
+    bucket = xxhash64 of the band's signature values (JVM-side,
+    deterministic; see BAND_HASH_VERSION). Bucket values are an internal
+    equality key only: any injective-enough deterministic hash of the
+    band slice yields the same candidate semantics.
     """
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.xxhash64(F.slice(F.col(sig_col), i * rows + F.lit(1), F.lit(rows))),
+        lambda i: F.xxhash64(*[
+            F.element_at(F.col(sig_col), (i * rows + F.lit(j + 1)).cast("int"))
+            for j in range(rows)]),
     )
     return (
         sig_df.select(id_col, F.posexplode(band_hashes).alias("band_id", "bucket"))
@@ -53,36 +67,62 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
 
 
 def salt_buckets(buckets: DataFrame, stats: DataFrame,
-                 max_bucket_size: int, salt_target: int) -> DataFrame:
+                 max_bucket_size: int, salt_target: int,
+                 dup_only: bool = False) -> DataFrame:
     """Split mega-buckets into deterministic sub-buckets.
 
     Docs in a bucket of size s > max_bucket_size get salt =
     pmod(xxhash64(doc_id, band_id), ceil(s / salt_target)); everyone else
     salt = 0. The oversized-bucket list is tiny -> broadcast join.
+
+    ``dup_only=True`` keeps only rows of buckets with >= 2 docs (an inner
+    join against ``stats``, which is already >= 2): singleton buckets can
+    never produce a candidate pair, and they are the overwhelming
+    majority of bucket rows (measured 96% at sf1), so a downstream
+    self-join should never shuffle them. Use it when the result feeds
+    candidate generation ONLY — a persisted search index needs the
+    singleton rows (a query can land in any bucket).
     """
-    oversized = stats.filter(F.col("bucket_size") > max_bucket_size).select(
-        "band_id", "bucket",
-        F.ceil(F.col("bucket_size") / F.lit(salt_target)).cast("int").alias("n_splits"),
-    )
-    return (
-        buckets.join(F.broadcast(oversized), ["band_id", "bucket"], "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("n_splits").isNotNull(),
-                F.pmod(F.xxhash64("doc_id", "band_id"), F.col("n_splits")).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("n_splits")
-    )
+    splits_expr = F.ceil(F.col("bucket_size") / F.lit(salt_target)) \
+        .cast("int")
+    salt_expr = F.when(
+        F.col("n_splits").isNotNull(),
+        F.pmod(F.xxhash64("doc_id", "band_id"), F.col("n_splits")).cast("int"),
+    ).otherwise(F.lit(0))
+    if dup_only:
+        keys = stats.select(
+            "band_id", "bucket",
+            F.when(F.col("bucket_size") > max_bucket_size, splits_expr)
+            .alias("n_splits"))
+        joined = buckets.join(keys, ["band_id", "bucket"], "inner")
+    else:
+        oversized = stats.filter(
+            F.col("bucket_size") > max_bucket_size).select(
+            "band_id", "bucket", splits_expr.alias("n_splits"))
+        joined = buckets.join(F.broadcast(oversized),
+                              ["band_id", "bucket"], "left")
+    return joined.withColumn("salt", salt_expr).drop("n_splits")
 
 
-def candidate_pairs(salted_buckets: DataFrame) -> DataFrame:
+def candidate_pairs(salted_buckets: DataFrame,
+                    prefilter: bool = True) -> DataFrame:
     """Within-bucket self-join -> distinct candidate (src < dst) pairs.
 
     The join shuffles both sides on (band_id, bucket, salt); AQE splits any
     residual skew. dropDuplicates collapses pairs that met in several bands.
-    """
+
+    ``prefilter`` (default on) drops rows of singleton (band, bucket,
+    salt) groups with a map-side-combining aggregate + semi join BEFORE
+    the self-join: such rows can never produce a pair, and they are the
+    large majority of a real bucket table (96% at sf1), so without the
+    prefilter they dominate the self-join's shuffle. Pass False when the
+    input is already duplicate-only (salt_buckets(dup_only=True))."""
+    if prefilter:
+        ge2 = (salted_buckets.groupBy("band_id", "bucket", "salt")
+               .agg((F.min("doc_id") != F.max("doc_id")).alias("__d"))
+               .filter(F.col("__d")).select("band_id", "bucket", "salt"))
+        salted_buckets = salted_buckets.join(
+            ge2, ["band_id", "bucket", "salt"], "left_semi")
     left = salted_buckets.select(
         "band_id", "bucket", "salt", F.col("doc_id").alias("src"))
     right = salted_buckets.select(

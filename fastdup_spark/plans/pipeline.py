@@ -61,9 +61,14 @@ def near_dup_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None,
     sigs = sigs.localCheckpoint(eager=True)
     buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
     stats = bucket_stats(buckets)
-    salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
+    # dup_only: this salted table feeds ONLY the candidate self-join (the
+    # staged run persists the full table as the search index instead), so
+    # singleton-bucket rows — 96% of rows at sf1 — are dropped before the
+    # checkpoint and the self-join shuffle ever see them
+    salted = salt_buckets(buckets, stats, cfg.max_bucket_size,
+                          cfg.bucket_salt_target, dup_only=True)
     salted = salted.localCheckpoint(eager=True)
-    cands = candidate_pairs(salted)
+    cands = candidate_pairs(salted, prefilter=False)
     sh = sigs.select("doc_id", "shingles")
     pairs = (
         cands
@@ -333,8 +338,12 @@ class FastdupSpark:
             buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
             stats = bucket_stats(buckets)
             salted = salt_buckets(buckets, stats, cfg.max_bucket_size, cfg.bucket_salt_target)
-            # the bucket table IS the persisted searchable index (≈ nnf.index)
-            self.store.write(salted, "buckets", self._chash)
+            # the bucket table IS the persisted searchable index (≈ nnf.index);
+            # band_hash stamps the hash-fn version so later probes
+            # (incremental tripwires) detect a stale index
+            from fastdup_spark.operators.lsh import BAND_HASH_VERSION
+            self.store.write(salted, "buckets", self._chash,
+                             counters={"band_hash": BAND_HASH_VERSION})
         salted = self.store.read(self.spark, "buckets")
         if not done("candidates"):
             cands = candidate_pairs(salted)

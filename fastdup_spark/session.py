@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions are met, and let AQE rewrite SMJ->SHJ at runtime when
+        # every post-shuffle partition is under the threshold: the
+        # engine's hot joins (bucket self-join, stats inner join, shingle
+        # verify joins) are equi-joins on well-spread keys where sorting
+        # both sides is pure overhead (guide §3.1; measured r07: -0.8s
+        # minhash_lsh_dedup, -1.6s search_many at sf1). OOM risk is
+        # bounded: AQE only converts when the largest build partition is
+        # below the per-partition threshold, so a skewed key falls back
+        # to SMJ on its own.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "256m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -231,6 +231,15 @@ def incremental_update(fd, new_pages: DataFrame,
     n_valid_footer = actual_rows - sum(
         x["rows"] for x in lineage if "is_valid=false" in x["file"])
     marker_stale = (store.read_marker("extracted") or {}).get("rows") != actual_rows
+    # (1b) band-hash version: the probe below joins NEW band hashes
+    #      against the PERSISTED bucket index — a store written by a
+    #      build with a different BAND_HASH_VERSION would silently miss
+    #      every old↔new candidate. Absent counter = pre-versioning
+    #      store = also a rebuild.
+    from fastdup_spark.operators.lsh import BAND_HASH_VERSION
+    bucket_marker = store.read_marker("buckets") or {}
+    if bucket_marker.get("counters", {}).get("band_hash") != BAND_HASH_VERSION:
+        marker_stale = True
     # (2) uncommitted docs (in signatures, not yet in extracted) = a prior
     #     batch crashed BEFORE its extracted append; its persisted pairs
     #     must re-enter the affected set on this replay. Detected from
