@@ -36,7 +36,16 @@ def cross_doc_duplicated(df: DataFrame, key_col: str,
     output; round-6 continuation). NULL keys are never
     flagged (Spark pools NULLs into one key group — the round-6
     NULL-key-window lesson)."""
-    keyed = df.filter(F.col(key_col).isNotNull())
+    # ONE explicit repartition on the key, shared by BOTH consumers: the
+    # aggregate (partitioning satisfies its grouping — no second
+    # exchange) and the semi join (both sides co-partitioned). Without
+    # it, the agg side exchanges partial-agg rows and the join side
+    # exchanges the raw stream separately, so the (possibly expensive —
+    # exactsubstr's window-hash mapInPandas) input subtree runs twice
+    # and its rows cross the network twice (r07: ~1s off the 24M-window
+    # flag pass at 100k pages; bytes can only shrink, the hot-key skew
+    # profile is unchanged — the join side always shuffled raw rows).
+    keyed = df.filter(F.col(key_col).isNotNull()).repartition(F.col(key_col))
     if min_docs == 2:
         cond = F.min(id_col) != F.max(id_col)
     else:
