@@ -59,8 +59,20 @@ def _window_tier(d: DataFrame, key, tier: str, id_col: str,
     dedup evidence, and Window.partitionBy would otherwise pool every
     such row into one partition and "dedup" unrelated docs against each
     other. NULL-key rows pass through as survivors (a plain run()
-    quarantines them at extraction instead)."""
-    w = Window.partitionBy("_key").orderBy(*order_cols, F.asc(id_col))
+    quarantines them at extraction instead).
+
+    PHYSICAL spread (r07, verdict #4): the rank guard below fixes the
+    semantics but a bare partitionBy("_key") still sends every NULL-key
+    row to ONE window task (Spark pools NULLs) — a straggler sort on
+    NULL-heavy corpora whose result is discarded. Partitioning on
+    (isnull, coalesce(key, per-row id)) gives each NULL-key row its own
+    singleton partition (the isnull flag keeps the surrogate namespace
+    disjoint from real keys); the when() guard still pins rank 1 even
+    if surrogates collide (e.g. NULL ids)."""
+    w = Window.partitionBy(
+        F.col("_key").isNull(),
+        F.coalesce(F.col("_key"), F.col(id_col).cast("string"))
+    ).orderBy(*order_cols, F.asc(id_col))
     ranked = (
         d.withColumn("_key", key)
         .withColumn(

@@ -130,10 +130,17 @@ def cap_per_host(pages: DataFrame, max_per_host: int,
     tie = [F.asc(id_col)] if id_col else [F.asc(url_col)]
     order = ([F.desc(ts_col)] if ts_col else []) + tie
     h = pages.withColumn("host", host_expr(F.col(url_col)))
-    w = Window.partitionBy("host").orderBy(*order)
     # NULL host = unknown host: EXEMPT from the cap (rank pinned 1), not a
     # shared pseudo-host — Window.partitionBy would otherwise pool every
-    # scheme-less/malformed url into one partition and cap them together
+    # scheme-less/malformed url into one partition and cap them together.
+    # The (isnull, coalesce) partition key additionally spreads NULL-host
+    # rows into singleton window partitions instead of one straggler task
+    # (r07, verdict #4); the when() guard keeps semantics even when the
+    # surrogate itself is NULL.
+    surrogate = F.col(id_col).cast("string") if id_col else F.col(url_col)
+    w = Window.partitionBy(
+        F.col("host").isNull(), F.coalesce(F.col("host"), surrogate)
+    ).orderBy(*order)
     ranked = h.withColumn(
         "host_rank",
         F.when(F.col("host").isNull(), F.lit(1))
@@ -168,10 +175,14 @@ def url_revisit_dedup(pages: DataFrame, url_col: str = "url",
     canonical key; everything else is map-side.
     """
     c = with_canonical_url(pages, url_col)
-    w = Window.partitionBy("canonical_url").orderBy(
-        F.desc(ts_col), F.asc(url_col))
     # NULL url -> NULL canonical key: exempt from dedup (no evidence two
-    # such rows are the same page), same NULL discipline as cap_per_host
+    # such rows are the same page), same NULL discipline as cap_per_host;
+    # the (isnull, coalesce) partition key spreads NULL-key rows into
+    # singleton window partitions instead of one straggler task (r07)
+    w = Window.partitionBy(
+        F.col("canonical_url").isNull(),
+        F.coalesce(F.col("canonical_url"), F.col(url_col))
+    ).orderBy(F.desc(ts_col), F.asc(url_col))
     ranked = c.withColumn(
         "_rn",
         F.when(F.col("canonical_url").isNull(), F.lit(1))

@@ -135,3 +135,21 @@ def test_null_keys_exempt_from_cheap_tiers(spark):
     # where 3/4/5 share a body -> smallest id (3) survives
     assert surv == {1, 2, 3}
     assert decisions == {4: "exact", 5: "exact"}
+
+
+def test_null_key_rows_spread_across_window_partitions(spark):
+    # r07 (verdict #4): semantics were already NULL-exempt, but every
+    # NULL-key row still landed in ONE window partition (straggler task
+    # on NULL-heavy corpora). The partition key is now
+    # (key isnull, coalesce(key, per-row id)) — assert the plan carries
+    # the spread key and the semantics stay pinned.
+    from pyspark.sql import functions as F
+
+    rows = [(i, None if i % 2 else f"text {i}", None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    res = dedup_cascade(df, url_col="url", run_near_dup=False)
+    plan = res["survivors"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "coalesce" in plan and "isnull" in plan
+    # every NULL-text doc survives the exact tier untouched
+    dropped = {r["doc_id"] for r in res["decisions"].collect()}
+    assert not any(i % 2 for i in dropped)
