@@ -42,8 +42,11 @@ oracle — the COVERAGE.md row is a T row).
 
 from __future__ import annotations
 
+import os
+from collections.abc import Iterator
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +54,20 @@ from .textql import gpt2_pretokens_expr
 
 _EOW = "</w>"  # end-of-word marker (Sennrich): merges can't cross words
 _SPACE_MARK = "Ġ"  # 'Ġ', the GPT-2 leading-space convention
+
+# learn_bpe: distinct-word tables at or below this row count run the
+# classic in-memory heap loop on the driver (the r06 verdict item: one
+# distributed explode+groupBy+collect PER MERGE is 32k Spark jobs at a
+# real vocabulary size, while webtext's distinct-word table is 1e7-1e8
+# rows — driver-sized). Above the gate the distributed loop still runs.
+_DRIVER_BPE_WORDS_MAX = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_WORDS",
+                                           str(2_000_000)))
+
+# segment_expr: merge tables LONGER than this switch from the chained
+# regexp_replace form (plan depth = n_merges; a 32k-merge chain is a
+# 64KB-codegen blowup) to one Arrow pass walking the ranked merge table
+# per word. Both forms have identical semantics (parity-tested).
+_SEGMENT_EXPR_MAX = int(os.environ.get("SPARK_GRAFT_BPE_EXPR_MERGES", "64"))
 
 
 def _quote_re(s: str) -> str:
@@ -98,9 +115,115 @@ class BpeMerge:
     pair_count: int
 
 
+def _merge_once(sym: list[str], left: str, right: str) -> list[str]:
+    """One merge step over a symbol list: replace every non-overlapping
+    left-to-right occurrence of the adjacent pair — the exact semantics
+    of one regexp_replace over the space-joined string ('a a a' under
+    (a,a) -> 'aa a')."""
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _initial_symbols_py(word: str | None) -> list[str]:
+    """Python twin of _initial_symbols + the final split: char symbols +
+    '</w>' (NULL word -> ['</w>'], matching concat_ws NULL-skipping)."""
+    if word is None:
+        return [_EOW]
+    return ((" ".join(list(word)) + " " + _EOW)).split(" ") \
+        if word else ["", _EOW]
+
+
+def _apply_ranked_py(sym: list[str], ranks: dict) -> list[str]:
+    """Apply a ranked merge table to one symbol list with the EXACT
+    semantics of the sequential regexp chain: merges considered in
+    increasing rank, each applied once to all occurrences; a pair
+    created by a later merge never re-triggers an earlier rank. Walks
+    only the pairs PRESENT in the word (O(len^2) dict lookups) instead
+    of the whole merge table — the device that makes a 32k-merge
+    vocabulary applicable per word."""
+    last = -1
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and r > last and (best is None or r < best[0]):
+                best = (r, sym[i], sym[i + 1])
+        if best is None:
+            return sym
+        sym = _merge_once(sym, best[1], best[2])
+        last = best[0]
+    return sym
+
+
+def _learn_bpe_driver(rows, n_merges: int, min_count: int):
+    """Classic in-memory BPE learning loop (heap + incremental pair
+    counts, subword-nmt shape) over collected (word, count) rows.
+    Selection order and tie-breaks are the exact twin of the distributed
+    loop's orderBy(n desc, left, right); per-step application is
+    _merge_once (the regexp semantics). Returns (merges, final_words)
+    with final_words = [(word, count, symbols-joined)]."""
+    import heapq
+
+    words = [[_initial_symbols_py(w), int(c), w] for w, c in rows]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for idx, (sym, cnt, _w) in enumerate(words):
+        for a, b in zip(sym, sym[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[BpeMerge] = []
+    for rank in range(n_merges):
+        # lazy-validation heap: pop until the top entry matches the live
+        # count (counts both decrease — occurrences consumed — and
+        # increase — a merged symbol can equal an existing one; every
+        # increase pushes its own entry, stale entries re-push corrected)
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            cur = pair_counts.get((l, r), 0)
+            if -negc == cur and cur > 0:
+                best = (cur, l, r)
+                break
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, l, r))
+        if best is None or best[0] < min_count:
+            break
+        n, left, right = best
+        merges.append(BpeMerge(rank, left, right, int(n)))
+        for idx in sorted(pair_words.get((left, right), ())):
+            sym, cnt, _w = words[idx]
+            new_sym = _merge_once(sym, left, right)
+            if new_sym == sym:
+                continue  # stale index (pair already consumed earlier)
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] -= cnt
+            words[idx][0] = new_sym
+            for a, b in zip(new_sym, new_sym[1:]):
+                p = (a, b)
+                c2 = pair_counts.get(p, 0) + cnt
+                pair_counts[p] = c2
+                pair_words.setdefault(p, set()).add(idx)
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+    return merges, [(w, c, " ".join(s)) for s, c, w in words]
+
+
 def learn_bpe(docs: DataFrame, n_merges: int, min_count: int = 2,
               text_col: str = "text",
               checkpoint_every: int = 8,
+              driver_words_max: int | None = None,
               ) -> tuple[list[BpeMerge], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -109,12 +232,31 @@ def learn_bpe(docs: DataFrame, n_merges: int, min_count: int = 2,
     final (word, count, symbols) DataFrame (symbols = the word segmented
     under all learned merges, space-joined, '</w>'-terminated). Stops
     early when the best remaining pair occurs < ``min_count`` times.
+
+    The corpus pass (word_counts) is always distributed. The merge LOOP
+    runs on the driver when the distinct-word table fits
+    (``driver_words_max``, default _DRIVER_BPE_WORDS_MAX; 0 forces the
+    distributed loop): webtext's distinct-word table is 1e7-1e8 rows —
+    driver-sized — and the distributed loop pays one explode + groupBy +
+    collect PER MERGE (32k Spark jobs at a real vocabulary). Both loops
+    select and apply merges identically (parity-tested).
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    spark = docs.sparkSession
     words = word_counts(docs, text_col).select(
         "word", "count", _initial_symbols(F.col("word")).alias("symbols"))
     words = words.localCheckpoint(eager=True)
+
+    gate = _DRIVER_BPE_WORDS_MAX if driver_words_max is None \
+        else driver_words_max
+    if gate and words.count() <= gate:
+        rows = [(r["word"], r["count"])
+                for r in words.select("word", "count").collect()]
+        merges, final_rows = _learn_bpe_driver(rows, n_merges, min_count)
+        out = spark.createDataFrame(
+            final_rows, "word string, count long, symbols string")
+        return merges, out.localCheckpoint(eager=True)
 
     merges: list[BpeMerge] = []
     for rank in range(n_merges):
@@ -150,11 +292,39 @@ def learn_bpe(docs: DataFrame, n_merges: int, min_count: int = 2,
     return merges, words.localCheckpoint(eager=True)
 
 
+def make_segment_udf(merges: list[BpeMerge]):
+    """Scalar-iter pandas UDF: word -> array<string> subword symbols.
+    One Arrow pass walking only the pairs present in each word
+    (_apply_ranked_py) — the production form for big merge tables, where
+    the chained-regexp plan would be n_merges expressions deep. Same
+    semantics as the chain (rank order, all occurrences per step,
+    later-created pairs never re-trigger earlier ranks)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {(m.left, m.right): m.rank
+             for m in sorted(merges, key=lambda m: m.rank)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def _seg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            yield pd.Series([
+                _apply_ranked_py(_initial_symbols_py(w), ranks)
+                for w in batch])
+
+    return _seg
+
+
 def segment_expr(word_col, merges: list[BpeMerge]) -> "F.Column":
     """Segment a (already 'Ġ'-marked) word column under a learned merge
-    table: array<string> of subword symbols ('</w>'-terminated). Pure
-    chained JVM regexp_replace — no Python, applies map-side to any new
-    corpus."""
+    table: array<string> of subword symbols ('</w>'-terminated).
+    Applies map-side to any new corpus. Small merge tables (<=
+    _SEGMENT_EXPR_MAX) stay pure chained JVM regexp_replace; bigger
+    tables switch to the Arrow walker (make_segment_udf) — a 32k-merge
+    regexp chain is a 32k-deep Catalyst expression (codegen/64KB-method
+    blowup), the r06 verdict's weak-at-scale item."""
+    if len(merges) > _SEGMENT_EXPR_MAX:
+        return make_segment_udf(merges)(word_col)
     expr = _initial_symbols(word_col)
     for m in sorted(merges, key=lambda m: m.rank):
         expr = F.regexp_replace(expr, merge_pattern(m.left, m.right),

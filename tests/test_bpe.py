@@ -167,3 +167,53 @@ def test_merge_pattern_quoting():
 def test_n_merges_validation(spark):
     with pytest.raises(ValueError):
         learn_bpe(_docs(spark, ["a b"]), -1)
+
+
+def test_driver_and_distributed_loops_agree(spark):
+    # r07 (verdict #3): the merge loop runs on the driver when the word
+    # table fits; parity with the distributed explode+groupBy loop is
+    # pinned here (merge table AND final segmentations identical).
+    import random
+
+    rng = random.Random(3)
+    base = ["low", "lower", "newest", "widest", "new", "west", "est"]
+    texts = [" ".join(rng.choices(base, k=12)) for _ in range(40)]
+    m_drv, w_drv = learn_bpe(_docs(spark, texts), 12)
+    m_dst, w_dst = learn_bpe(_docs(spark, texts), 12, driver_words_max=0)
+    assert [(m.rank, m.left, m.right, m.pair_count) for m in m_drv] == \
+           [(m.rank, m.left, m.right, m.pair_count) for m in m_dst]
+    drv = {r["word"]: (r["count"], r["symbols"]) for r in w_drv.collect()}
+    dst = {r["word"]: (r["count"], r["symbols"]) for r in w_dst.collect()}
+    assert drv == dst
+
+
+def test_big_merge_table_bounded_plan(spark, monkeypatch):
+    # r07 (verdict #3): >_SEGMENT_EXPR_MAX merges segment through ONE
+    # Arrow pass instead of an n_merges-deep regexp chain; learning 1k+
+    # merges stays bounded (driver loop — no job per merge) and the two
+    # segmenters agree exactly.
+    import fastdup_spark.operators.bpe as bpe_mod
+    from pyspark.sql import functions as F
+
+    rng = __import__("random").Random(9)
+    words = ["".join(rng.choices("abcdefgh", k=rng.randint(3, 10)))
+             for _ in range(400)]
+    texts = [" ".join(rng.choices(words, k=30)) for _ in range(50)]
+    merges, w = learn_bpe(_docs(spark, texts), 1200, min_count=1)
+    assert len(merges) > bpe_mod._SEGMENT_EXPR_MAX
+    df = w.select("word").limit(200)
+    seg_udf = df.select("word", F.array_join(
+        segment_expr(F.col("word"), merges), " ").alias("s"))
+    plan = seg_udf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "regexp_replace" not in plan
+    # parity vs the chained-regexp form on a head of the table
+    head = merges[:40]
+    monkeypatch.setattr(bpe_mod, "_SEGMENT_EXPR_MAX", 10_000)
+    chain = df.select("word", F.array_join(
+        segment_expr(F.col("word"), head), " ").alias("s"))
+    monkeypatch.setattr(bpe_mod, "_SEGMENT_EXPR_MAX", 0)
+    arrow = df.select("word", F.array_join(
+        segment_expr(F.col("word"), head), " ").alias("s"))
+    a = {r["word"]: r["s"] for r in chain.collect()}
+    b = {r["word"]: r["s"] for r in arrow.collect()}
+    assert a == b
