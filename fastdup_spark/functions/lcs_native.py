@@ -220,6 +220,18 @@ def native_lib():
             raise RuntimeError("native LCS smoke check failed")
         _lib = lib
     except Exception as e:  # no gcc / compile / load failure -> Python SAM
-        _LOG.info("native LCS kernel unavailable (%s) — using Python SAM", e)
+        # WARNING with the compiler's own stderr (r06 verdict #6/#9): the
+        # silent fallback costs 9-13x on the containment confirm stage,
+        # so the reason must be visible in worker logs, once per process.
+        detail = ""
+        stderr = getattr(e, "stderr", None)
+        if stderr:
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode("utf-8", "replace")
+            detail = "; compiler stderr: " + stderr.strip()[-2000:]
+        _LOG.warning(
+            "native LCS kernel unavailable (%s)%s — falling back to the "
+            "pure-Python SAM (bit-identical, ~9-13x slower on the "
+            "containment confirm stage)", e, detail)
         _lib = None
     return _lib

@@ -83,3 +83,30 @@ def test_native_is_actually_faster(n):
     r_py, t_py = best_of(_lcs_length_py)
     assert r_native == r_py
     assert t_native * 3 < t_py, (t_native, t_py)
+
+
+def test_compile_failure_logs_compiler_stderr(tmp_path, monkeypatch, caplog):
+    # r06 verdict #9: the silent 9-13x Python-SAM fallback must announce
+    # itself with the compiler's own stderr at WARNING level.
+    import logging
+    import subprocess
+
+    import fastdup_spark.functions.lcs_native as m
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    monkeypatch.setattr("tempfile.tempdir", None)
+    monkeypatch.setattr(m, "_tried", False)
+    monkeypatch.setattr(m, "_lib", None)
+
+    def boom(*a, **k):
+        raise subprocess.CalledProcessError(
+            1, a[0], output=b"", stderr=b"cc1: fatal error: no such thing")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    with caplog.at_level(logging.WARNING, logger="fastdup_spark.lcs_native"):
+        assert m.native_lib() is None
+    joined = " ".join(r.message for r in caplog.records)
+    assert "no such thing" in joined and "Python SAM" in joined
+    # reset module state so later tests re-probe the real kernel
+    monkeypatch.setattr(m, "_tried", False)
+    monkeypatch.setattr(m, "_lib", None)
