@@ -741,8 +741,14 @@ def q_search_many(spark, sf):
     buckets = band_buckets(sigs, cfg.lsh_bands, cfg.lsh_rows)
     queries = d.filter(F.col("doc_id") % 7 == 1).select(
         F.col("doc_id").alias("query_id"), "text")
+    # the queries are a slice of the already-signatured corpus: reuse
+    # their rows from the checkpointed sigs instead of a second UDF pass
+    # (identical signatures by determinism — r07 optimization)
+    qsigs = sigs.filter(F.col("doc_id") % 7 == 1) \
+        .select(F.col("doc_id").alias("query_id"), "minhash", "shingles")
     return search_corpus(queries, sigs, buckets, cfg, k=10,
-                         threshold=cfg.threshold, exclude_self=True)
+                         threshold=cfg.threshold, exclude_self=True,
+                         query_sigs=qsigs)
 
 
 def q_minhash_lsh_dedup(spark, sf):

@@ -89,7 +89,8 @@ def search_corpus(queries: DataFrame, corpus_sigs: DataFrame,
                   k: int = 10, threshold: float | None = None,
                   exclude_self: bool = False,
                   broadcast_queries: bool = True,
-                  id_col: str = "query_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "query_id", text_col: str = "text",
+                  query_sigs: DataFrame | None = None) -> DataFrame:
     """Set-vs-corpus search (the reference's search run mode is inherently
     set-vs-set: every query row lands in one search.csv,
     /root/reference/fastdup/__init__.py:2162-2238, RUN.md:189-192).
@@ -110,11 +111,19 @@ def search_corpus(queries: DataFrame, corpus_sigs: DataFrame,
     query by (jaccard desc, doc_id) — deterministic. ``threshold`` filters
     before ranking (the >= cfg.threshold regime is where LSH candidate
     generation is exhaustive, so results are brute-force-exact there).
+
+    ``query_sigs`` (query_id, minhash, shingles) skips the query-side
+    signature pass when the caller already has signatures for the query
+    rows (e.g. the queries are a slice of an already-signatured corpus —
+    same text, same config -> identical signatures by determinism).
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(text_col).alias("text"))
-    qsig = with_signatures(q, cfg).select(
-        "query_id", "minhash", "shingles").localCheckpoint(eager=True)
+    if query_sigs is not None:
+        qsig = query_sigs.select("query_id", "minhash", "shingles")
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(text_col).alias("text"))
+        qsig = with_signatures(q, cfg).select(
+            "query_id", "minhash", "shingles").localCheckpoint(eager=True)
     qb = band_buckets(qsig, cfg.lsh_bands, cfg.lsh_rows, id_col="query_id") \
         .select(F.col("doc_id").alias("query_id"), "band_id", "bucket")
     if broadcast_queries:
